@@ -1,0 +1,73 @@
+"""PE base correction in overlapped regions (reference: src/basecorrector.cpp:16-83).
+
+For each overlap position i: p1 = start1 + i, p2 = start2 - i with
+start1 = max(0, offset), start2 = len2 - max(0, -offset) - 1.  Where
+seq1[p1] != complement(seq2[p2]), the Q30/Q14 asymmetry decides which mate is
+overwritten.  Both mappings are affine, so the batched version gathers the
+opposite mate at p2 = (start1 + start2) - j for row position j and applies
+masked writes -- no scatters needed.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .common import pos_iota, complement
+
+GOOD_QUAL = 30 + 33  # num2qual(30) = '?'
+BAD_QUAL = 14 + 33   # num2qual(14) = '/'
+
+
+def correct_by_overlap(seq1, qual1, len1, seq2, qual2, len2,
+                       ov_overlapped, ov_offset, ov_overlap_len, ov_diff):
+    """Returns (seq1', qual1', seq2', qual2', corr_matrix_idx_counts,
+    corrected[B], r1_corrected[B], r2_corrected[B]).
+
+    corr counts are returned as a flat [64] int32 vector indexed
+    (from & 7) * 8 + (to & 7), matching FilterResult::addCorrection.
+    """
+    B, L = seq1.shape
+    j = pos_iota(B, L)
+    do = ov_overlapped & (ov_diff != 0)
+    start1 = jnp.maximum(0, ov_offset)
+    start2 = len2 - jnp.maximum(0, -ov_offset) - 1
+    ol = ov_overlap_len
+
+    # --- r1-side view: row position j = p1; i = j - start1; p2 = start1+start2-j
+    i1 = j - start1[:, None]
+    in_ov1 = (i1 >= 0) & (i1 < ol[:, None]) & do[:, None]
+    p2_for_1 = jnp.clip(start1[:, None] + start2[:, None] - j, 0, L - 1)
+    s2g = jnp.take_along_axis(seq2, p2_for_1, axis=1)
+    q2g = jnp.take_along_axis(qual2, p2_for_1, axis=1)
+    mismatch1 = in_ov1 & (seq1 != complement(s2g))
+    use_r1 = mismatch1 & (qual1 >= GOOD_QUAL) & (q2g <= BAD_QUAL)   # overwrite r2
+    use_r2 = mismatch1 & ~use_r1 & (q2g >= GOOD_QUAL) & (qual1 <= BAD_QUAL)  # overwrite r1
+
+    new_seq1 = jnp.where(use_r2, complement(s2g), seq1)
+    new_qual1 = jnp.where(use_r2, q2g, qual1)
+
+    # --- r2-side view: row position k = p2; i = start2 - k; p1 = start1+start2-k
+    p1_for_2 = jnp.clip(start1[:, None] + start2[:, None] - j, 0, L - 1)
+    i2 = start2[:, None] - j
+    in_ov2 = (i2 >= 0) & (i2 < ol[:, None]) & do[:, None]
+    s1g = jnp.take_along_axis(seq1, p1_for_2, axis=1)
+    q1g = jnp.take_along_axis(qual1, p1_for_2, axis=1)
+    mismatch2 = in_ov2 & (s1g != complement(seq2))
+    use_r1_2 = mismatch2 & (q1g >= GOOD_QUAL) & (qual2 <= BAD_QUAL)  # overwrite r2 here
+
+    new_seq2 = jnp.where(use_r1_2, complement(s1g), seq2)
+    new_qual2 = jnp.where(use_r1_2, q1g, qual2)
+
+    # --- counters (use the r1-side view; one event per overlap position) ---
+    # addCorrection(from=seq2[p2], to=complement(seq1[p1])) for use_r1
+    # addCorrection(from=seq1[p1], to=complement(seq2[p2])) for use_r2
+    from1 = (s2g & 7).astype(jnp.int32) * 8 + (complement(seq1) & 7).astype(jnp.int32)
+    from2 = (seq1 & 7).astype(jnp.int32) * 8 + (complement(s2g) & 7).astype(jnp.int32)
+    idx = jnp.where(use_r1, from1, jnp.where(use_r2, from2, 64))
+    corr_matrix = jnp.zeros((65,), jnp.int32).at[idx.reshape(-1)].add(
+        (use_r1 | use_r2).reshape(-1).astype(jnp.int32))[:64]
+
+    corrected = jnp.sum((use_r1 | use_r2).astype(jnp.int32), axis=1)
+    r2_corrected = jnp.any(use_r1, axis=1)
+    r1_corrected = jnp.any(use_r2, axis=1)
+    return (new_seq1, new_qual1, new_seq2, new_qual2, corr_matrix,
+            corrected, r1_corrected, r2_corrected)

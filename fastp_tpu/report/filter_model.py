@@ -1,0 +1,182 @@
+"""Host-side FilterResult accumulator
+(reference: src/filterresult.cpp:10-329)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import (Options, FILTER_RESULT_TYPES, PASS_FILTER, FAIL_QUALITY,
+                      FAIL_N_BASE, FAIL_LENGTH, FAIL_TOO_LONG, FAIL_COMPLEXITY,
+                      ATCG_BASES)
+
+MAX_ADAPTER_REC = 20000
+LOW_COMPLEXITY_SKIP = 5000
+
+
+def _is_low_complexity(adapter: str) -> bool:
+    """reference: src/filterresult.cpp:115-122"""
+    diff = sum(1 for i in range(len(adapter) - 1) if adapter[i] != adapter[i + 1])
+    return diff < len(adapter) // 2
+
+
+class FilterResult:
+    def __init__(self, opt: Options, paired: bool):
+        self.opt = opt
+        self.paired = paired
+        self.filter_read_stats = np.zeros(FILTER_RESULT_TYPES, np.int64)
+        self.trimmed_adapter_reads = 0
+        self.trimmed_adapter_bases = 0
+        self.merged_pairs = 0
+        self.adapter1 = {}
+        self.adapter2 = {}
+        self.correction_matrix = np.zeros(64, np.int64)
+        self.corrected_reads = 0
+        self.polyx_trimmed_reads = np.zeros(4, np.int64)
+        self.polyx_trimmed_bases = np.zeros(4, np.int64)
+
+    # -- accumulation ------------------------------------------------------
+    def add_filter_result_array(self, results: np.ndarray, read_num: int):
+        """Vector version of addFilterResult over a batch of result codes."""
+        binc = np.bincount(results, minlength=FILTER_RESULT_TYPES)
+        self.filter_read_stats += binc[:FILTER_RESULT_TYPES].astype(np.int64) * read_num
+
+    def add_filter_result(self, result: int, read_num: int):
+        if PASS_FILTER <= result < FILTER_RESULT_TYPES:
+            self.filter_read_stats[result] += read_num
+
+    def add_merged_pairs(self, pairs: int):
+        self.merged_pairs += pairs
+
+    def add_adapter_trimmed(self, adapter: str, is_r2: bool = False,
+                            inc_trimmed_counter: bool = True):
+        """reference: src/filterresult.cpp:124-153"""
+        if not adapter:
+            return
+        if inc_trimmed_counter:
+            self.trimmed_adapter_reads += 1
+        self.trimmed_adapter_bases += len(adapter)
+        m = self.adapter2 if is_r2 else self.adapter1
+        if adapter in m:
+            m[adapter] += 1
+        else:
+            if len(m) > MAX_ADAPTER_REC or (len(m) > LOW_COMPLEXITY_SKIP
+                                            and _is_low_complexity(adapter)):
+                return
+            m[adapter] = 1
+
+    def add_adapter_trimmed_pair(self, adapter1: str, adapter2: str):
+        """reference: src/filterresult.cpp:155-183 (note the early return on a
+        capped adapter1 also skips recording adapter2, replicated here)."""
+        self.trimmed_adapter_reads += 2
+        self.trimmed_adapter_bases += len(adapter1) + len(adapter2)
+        if adapter1:
+            if adapter1 in self.adapter1:
+                self.adapter1[adapter1] += 1
+            else:
+                if len(self.adapter1) > MAX_ADAPTER_REC or (
+                        len(self.adapter1) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter1)):
+                    return
+                self.adapter1[adapter1] = 1
+        if adapter2:
+            if adapter2 in self.adapter2:
+                self.adapter2[adapter2] += 1
+            else:
+                if len(self.adapter2) > MAX_ADAPTER_REC or (
+                        len(self.adapter2) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter2)):
+                    return
+                self.adapter2[adapter2] = 1
+
+    def add_correction_matrix(self, matrix64: np.ndarray):
+        self.correction_matrix += matrix64.astype(np.int64)
+
+    def inc_corrected_reads(self, count: int):
+        self.corrected_reads += count
+
+    def add_polyx_trimmed(self, base_counts: np.ndarray, base_bases: np.ndarray):
+        self.polyx_trimmed_reads += base_counts.astype(np.int64)
+        self.polyx_trimmed_bases += base_bases.astype(np.int64)
+
+    def get_total_corrected_bases(self):
+        return int(self.correction_matrix.sum())
+
+    def get_total_polyx_trimmed_reads(self):
+        return int(self.polyx_trimmed_reads.sum())
+
+    def get_total_polyx_trimmed_bases(self):
+        return int(self.polyx_trimmed_bases.sum())
+
+    # -- JSON (reference: src/filterresult.cpp:231-329) ---------------------
+    def report_json(self, out, padding: str):
+        w = out.write
+        w("{\n")
+        w('%s\t"passed_filter_reads": %d,\n' % (padding, self.filter_read_stats[PASS_FILTER]))
+        if self.opt.correction.enabled:
+            w('%s\t"corrected_reads": %d,\n' % (padding, self.corrected_reads))
+            w('%s\t"corrected_bases": %d,\n' % (padding, self.get_total_corrected_bases()))
+        w('%s\t"low_quality_reads": %d,\n' % (padding, self.filter_read_stats[FAIL_QUALITY]))
+        w('%s\t"too_many_N_reads": %d,\n' % (padding, self.filter_read_stats[FAIL_N_BASE]))
+        if self.opt.complexityFilter.enabled:
+            w('%s\t"low_complexity_reads": %d,\n' % (padding, self.filter_read_stats[FAIL_COMPLEXITY]))
+        w('%s\t"too_short_reads": %d,\n' % (padding, self.filter_read_stats[FAIL_LENGTH]))
+        w('%s\t"too_long_reads": %d\n' % (padding, self.filter_read_stats[FAIL_TOO_LONG]))
+        w("%s},\n" % padding)
+
+    def _output_adapters_json(self, out, counts: dict):
+        """reference: src/filterresult.cpp:249-284"""
+        w = out.write
+        total = sum(counts.values())
+        if total == 0:
+            return
+        report_threshold = 0.01
+        first = True
+        reported = 0
+        for seq in sorted(counts):
+            count = counts[seq]
+            if count / total < report_threshold:
+                continue
+            if not first:
+                w(", ")
+            else:
+                first = False
+            w('"%s":%d' % (seq, count))
+            reported += count
+        unreported = total - reported
+        if unreported > 0:
+            if not first:
+                w(", ")
+            w('"others":%d' % unreported)
+
+    def report_adapter_json(self, out, padding: str):
+        """reference: src/filterresult.cpp:286-310"""
+        w = out.write
+        w("{\n")
+        w('%s\t"adapter_trimmed_reads": %d,\n' % (padding, self.trimmed_adapter_reads))
+        w('%s\t"adapter_trimmed_bases": %d,\n' % (padding, self.trimmed_adapter_bases))
+        w('%s\t"read1_adapter_sequence": "%s",\n' % (padding, self.opt.getAdapter1()))
+        if self.opt.isPaired():
+            w('%s\t"read2_adapter_sequence": "%s",\n' % (padding, self.opt.getAdapter2()))
+        w('%s\t"read1_adapter_counts": {' % padding)
+        self._output_adapters_json(out, self.adapter1)
+        w("}")
+        if self.opt.isPaired():
+            w(",")
+        w("\n")
+        if self.opt.isPaired():
+            w('%s\t"read2_adapter_counts": {' % padding)
+            self._output_adapters_json(out, self.adapter2)
+            w("}\n")
+        w("%s},\n" % padding)
+
+    def report_polyx_json(self, out, padding: str):
+        """reference: src/filterresult.cpp:312-329"""
+        w = out.write
+        w("%s{\n" % padding)
+        for key, total, counts, tail in (
+                ("polyx_trimmed_reads", self.get_total_polyx_trimmed_reads(),
+                 self.polyx_trimmed_reads, ",\n"),
+                ("polyx_trimmed_bases", self.get_total_polyx_trimmed_bases(),
+                 self.polyx_trimmed_bases, "\n%s},\n" % padding)):
+            w('%s\t"total_%s": %d,\n' % (padding, key, total))
+            w('%s\t"%s":{' % (padding, key))
+            w(", ".join('"%s": %d' % (ATCG_BASES[b], counts[b]) for b in range(4)))
+            w("}")
+            w(tail)
