@@ -1,0 +1,152 @@
+"""Duplication profiling / deduplication
+(reference: src/duplicate.cpp:7-173).
+
+The reference hashes the whole (pair-concatenated) sequence with
+position-indexed prime multipliers into 1-3 Bloom-filter bit buffers whose
+sizes are powers of two, using first-arrival-wins test-and-set.  The quirk
+that `isDup` keeps only the LAST buffer's result
+(src/duplicate.cpp:154-167: `isDup = (ret & byte) != 0` inside the loop,
+not &&=) is replicated.
+
+Order within a batch follows input order, matching a single-worker
+reference run (-w 1); the multi-threaded reference is itself
+nondeterministic here.
+
+Implemented with vectorized numpy on the host: hashing is a masked
+gather/multiply/sum over [B, 2L] int64 (sums stay < 2^44, no overflow),
+and first-wins semantics use stable sorts per batch.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import Options
+
+PRIME_ARRAY_LEN = 1 << 9
+
+_BASE_CODE = np.full(256, 13, np.int64)
+_BASE_CODE[ord("A")] = 7
+_BASE_CODE[ord("T")] = 222
+_BASE_CODE[ord("C")] = 74
+_BASE_CODE[ord("G")] = 31
+
+
+def _gen_primes(count: int) -> np.ndarray:
+    """reference: src/duplicate.cpp:66-84 (10000-stride prime walk)."""
+    out = np.zeros(count, np.uint64)
+    number = 10000
+    found = 0
+    while found < count:
+        number += 1
+        is_prime = True
+        i = 2
+        while i * i <= number:
+            if number % i == 0:
+                is_prime = False
+                break
+            i += 1
+        if is_prime:
+            out[found] = number
+            found += 1
+            number += 10000
+    return out
+
+
+class Duplicate:
+    def __init__(self, opt: Options):
+        self.opt = opt
+        buf_len_bytes = 1 << 29
+        buf_num = 2
+        lvl = opt.duplicate.accuracyLevel
+        if lvl == 2:
+            buf_len_bytes *= 2
+        elif lvl == 3:
+            buf_len_bytes *= 2
+            buf_num *= 2
+        elif lvl == 4:
+            buf_len_bytes *= 4
+            buf_num *= 2
+        elif lvl == 5:
+            buf_len_bytes *= 8
+            buf_num *= 2
+        elif lvl == 6:
+            buf_len_bytes *= 8
+            buf_num *= 3
+        self.buf_len_bytes = buf_len_bytes
+        self.buf_num = buf_num
+        self.buf_len_bits = buf_len_bytes << 3
+        self.offset_mask = PRIME_ARRAY_LEN * buf_num - 1
+        self.bufs = [np.zeros(buf_len_bytes, np.uint8) for _ in range(buf_num)]
+        self.primes = _gen_primes(buf_num * PRIME_ARRAY_LEN).astype(np.int64)
+        self.total_reads = 0
+        self.dup_reads = 0
+
+    def _hash_positions(self, concat: np.ndarray, total_len: np.ndarray) -> np.ndarray:
+        """concat: uint8[B, W] pair-concatenated sequences (0 pad);
+        total_len: int32[B]. Returns positions int64[buf_num, B]."""
+        B, W = concat.shape
+        codes = _BASE_CODE[concat]  # int64 [B, W]
+        x = np.arange(W, dtype=np.int64)[None, :]
+        mask = x < total_len[:, None].astype(np.int64)
+        vals = (codes + x) * mask
+        positions = np.empty((self.buf_num, B), np.int64)
+        for i in range(self.buf_num):
+            pidx = (x[0] * self.buf_num + i) & self.offset_mask
+            g = self.primes[pidx]  # [W]
+            # sum of prime * (code + x); < 2^44, exact in int64
+            positions[i] = (vals * g[None, :]).sum(axis=1) % self.buf_len_bits
+        return positions
+
+    def _apply(self, positions: np.ndarray) -> np.ndarray:
+        """Test-and-set with first-wins order within the batch.
+        Returns isDup bool[B] (last buffer's verdict, per the reference)."""
+        B = positions.shape[1]
+        is_dup = np.zeros(B, bool)
+        for i in range(self.buf_num):
+            pos = positions[i]
+            byte_pos = pos >> 3
+            bit = (1 << (pos & 7)).astype(np.uint8)
+            pre_set = (self.bufs[i][byte_pos] & bit) != 0
+            # first occurrence within batch: stable unique on (byte_pos, bit)
+            key = pos  # bit identity == full bit position
+            order = np.argsort(key, kind="stable")
+            sorted_key = key[order]
+            dup_in_batch_sorted = np.zeros(B, bool)
+            dup_in_batch_sorted[1:] = sorted_key[1:] == sorted_key[:-1]
+            dup_in_batch = np.zeros(B, bool)
+            dup_in_batch[order] = dup_in_batch_sorted
+            is_dup = pre_set | dup_in_batch  # last buffer wins (reference quirk)
+            np.bitwise_or.at(self.bufs[i], byte_pos, bit)
+        return is_dup
+
+    def check_batch_se(self, bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        pos = self._hash_positions(bases, lengths)
+        dup = self._apply(pos)
+        self.total_reads += len(lengths)
+        self.dup_reads += int(dup.sum())
+        return dup
+
+    def check_batch_pe(self, b1: np.ndarray, l1: np.ndarray,
+                       b2: np.ndarray, l2: np.ndarray) -> np.ndarray:
+        """Pair hash = seq2intvector(r1) then seq2intvector(r2, posOffset=len1),
+        equivalent to hashing the concatenated pair."""
+        B, L = b1.shape
+        W = 2 * L
+        concat = np.zeros((B, W), np.uint8)
+        concat[:, :L] = b1
+        # place r2 at column offset len1 per row
+        x = np.arange(L)
+        for_rows = l1[:, None] + x[None, :]
+        np.put_along_axis(concat, np.minimum(for_rows, W - 1), np.where(
+            x[None, :] < l2[:, None], b2, 0), axis=1)
+        total = (l1 + l2).astype(np.int32)
+        pos = self._hash_positions(concat, total)
+        dup = self._apply(pos)
+        self.total_reads += B
+        self.dup_reads += int(dup.sum())
+        return dup
+
+    def get_dup_rate(self) -> float:
+        if self.total_reads == 0:
+            return 0.0
+        return self.dup_reads / self.total_reads

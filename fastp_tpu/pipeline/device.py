@@ -1,0 +1,292 @@
+"""Jitted per-batch device pipelines (SE and PE).
+
+One device roundtrip per batch: host supplies raw padded tensors plus
+host-computed masks (UMI pre-trim, index-filter drops, dedup decisions),
+the device executes the full trim/cut/adapter/overlap/correct/filter/stat
+pipeline (reference order: src/seprocessor.cpp:196-315 for SE,
+src/peprocessor.cpp:361-600 for PE) and returns per-read scalars, windowed
+(possibly corrected) content arrays, and batch-reduced stat tensors.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PASS_FILTER
+from ..ops import trim as trim_ops
+from ..ops import polyx as polyx_ops
+from ..ops import adapter as adapter_ops
+from ..ops import overlap as overlap_ops
+from ..ops import correct as correct_ops
+from ..ops import merge as merge_ops
+from ..ops import filter as filter_ops
+from ..ops import stats as stats_ops
+from ..ops.common import roll_front
+from .static_cfg import DeviceCfg
+
+
+class _FilterCfgView:
+    """Adapter of DeviceCfg attribute names for ops.filter/trim."""
+
+    def __init__(self, cfg: DeviceCfg):
+        for k in ("enabledFront", "enabledTail", "enabledRight",
+                  "windowSizeFront", "qualityFront", "windowSizeTail",
+                  "qualityTail", "windowSizeRight", "qualityRight",
+                  "qualfilter_enabled", "qualifiedQual",
+                  "unqualifiedPercentLimit", "avgQualReq", "nBaseLimit",
+                  "lengthFilter_enabled", "requiredLength", "maxLength",
+                  "complexity_enabled", "complexity_threshold_percent"):
+            setattr(self, k, getattr(cfg, k))
+
+
+def _multi_fasta_match_req(n: int) -> int:
+    """reference: src/adaptertrimmer.cpp:48-52"""
+    if n > 256:
+        return 6
+    if n > 16:
+        return 5
+    return 4
+
+
+def _trim_one_end(bases, quals, lengths, pre_trim, cfg: DeviceCfg, is_r2: bool):
+    """UMI pre-trim roll + trimAndCut + window roll. Returns
+    (w_bases, w_quals, rlen, alive, front_trimmed, total_front)."""
+    v = _FilterCfgView(cfg)
+    l0 = lengths.astype(jnp.int32)
+    b1 = roll_front(bases, pre_trim)
+    q1 = roll_front(quals, pre_trim)
+    l1 = l0 - pre_trim
+    fr = cfg.front2 if is_r2 else cfg.front1
+    tl = cfg.tail2 if is_r2 else cfg.tail1
+    front, rlen, alive = trim_ops.trim_and_cut(b1, q1, l1, fr, tl, v)
+    w_b = roll_front(b1, front)
+    w_q = roll_front(q1, front)
+    # frontTrimmed semantics: 0 on the fast identity/resize paths
+    any_cut = cfg.enabledFront or cfg.enabledTail or cfg.enabledRight
+    if fr == 0 and not any_cut:
+        front_trimmed = jnp.zeros_like(front)
+    else:
+        front_trimmed = front
+    return w_b, w_q, jnp.where(alive, rlen, 0), alive, front_trimmed, pre_trim + front
+
+
+def _apply_seq_adapters(w_b, rlen, alive, cfg: DeviceCfg, is_r2: bool,
+                        ov_trimmed=None):
+    """Adapter by sequence + FASTA list (reference adapter block).
+    Returns (rlen', info dict)."""
+    out = {"rlen_pre_adapter": rlen}
+    B = w_b.shape[0]
+    adapter_seq = cfg.adapter_seq2 if is_r2 else cfg.adapter_seq1
+    has_seq = cfg.has_seq2 if is_r2 else cfg.has_seq1
+    if cfg.adapter_enabled and has_seq and len(adapter_seq) > 0:
+        new_len, found, fpos = adapter_ops.trim_by_sequence(w_b, rlen, adapter_seq)
+        gate = alive
+        if ov_trimmed is not None:
+            gate = gate & ~ov_trimmed
+        found = found & gate
+        rlen = jnp.where(found, new_len, rlen)
+        out["ad_found"] = found
+        out["ad_pos"] = fpos
+    else:
+        out["ad_found"] = jnp.zeros((B,), bool)
+        out["ad_pos"] = jnp.zeros((B,), jnp.int32)
+    out["rlen_post_adapter"] = rlen
+
+    if cfg.adapter_enabled and cfg.fasta_adapters:
+        mreq = _multi_fasta_match_req(len(cfg.fasta_adapters))
+        for a in cfg.fasta_adapters:
+            new_len, found, _ = adapter_ops.trim_by_sequence(w_b, rlen, a, mreq)
+            rlen = jnp.where(found & alive, new_len, rlen)
+    out["rlen_post_fasta"] = rlen
+    return rlen, out
+
+
+def _apply_polyx_maxlen(w_b, rlen, alive, cfg: DeviceCfg, is_r2: bool):
+    """polyX trimming + maxLen resize. Returns (rlen', polyx_reads, polyx_bases)."""
+    if cfg.polyx_enabled:
+        new_len, has_poly, poly, nbases = polyx_ops.trim_polyx(w_b, rlen, cfg.polyx_min_len)
+        has_poly = has_poly & alive
+        rlen = jnp.where(has_poly, new_len, rlen)
+        polyx_reads = jnp.zeros((5,), jnp.int32).at[
+            jnp.where(has_poly, poly, 4)].add(1)[:4]
+        polyx_bases = jnp.zeros((5,), jnp.int32).at[
+            jnp.where(has_poly, poly, 4)].add(jnp.where(has_poly, nbases, 0))[:4]
+    else:
+        polyx_reads = jnp.zeros((4,), jnp.int32)
+        polyx_bases = jnp.zeros((4,), jnp.int32)
+
+    max_len = cfg.maxLen2 if is_r2 else cfg.maxLen1
+    if max_len > 0:
+        rlen = jnp.where(alive & (rlen > max_len), max_len, rlen)
+    return rlen, polyx_reads, polyx_bases
+
+
+def build_se_step(cfg: DeviceCfg):
+    fview = _FilterCfgView(cfg)
+
+    @jax.jit
+    def se_step(bases, quals, lengths, pre_trim, index_drop, dedup_out):
+        pre = stats_ops.stat_batch(bases, quals, lengths,
+                                   jnp.ones(lengths.shape, bool))
+        w_b, w_q, rlen, alive, front_trimmed, total_front = _trim_one_end(
+            bases, quals, lengths, pre_trim, cfg, is_r2=False)
+        alive = alive & ~index_drop
+        if cfg.polyg_enabled:
+            rlen = jnp.where(alive, polyx_ops.trim_polyg(w_b, rlen, cfg.polyg_min_len), rlen)
+        rlen, ad = _apply_seq_adapters(w_b, rlen, alive, cfg, is_r2=False)
+        rlen, polyx_reads, polyx_bases = _apply_polyx_maxlen(w_b, rlen, alive, cfg, False)
+        result = filter_ops.pass_filter(w_b, w_q, rlen, alive, fview)
+        passed = (result == PASS_FILTER) & alive
+        emit = passed & ~dedup_out
+        post = stats_ops.stat_batch(w_b, w_q, rlen, emit)
+        return {
+            "pre": pre, "post": post,
+            "total_front": total_front,
+            "rlen": rlen,
+            "result": result,
+            "alive": alive,
+            "emit": emit,
+            "ad_found": ad["ad_found"],
+            "ad_pos": ad["ad_pos"],
+            "rlen_pre_adapter": ad["rlen_pre_adapter"],
+            "rlen_post_adapter": ad["rlen_post_adapter"],
+            "polyx_reads": polyx_reads,
+            "polyx_bases": polyx_bases,
+        }
+
+    return se_step
+
+
+def build_pe_step(cfg: DeviceCfg):
+    fview = _FilterCfgView(cfg)
+
+    @jax.jit
+    def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop, dedup_out):
+        B, L = b1.shape
+        ones = jnp.ones((B,), bool)
+        pre1 = stats_ops.stat_batch(b1, q1, l1, ones)
+        pre2 = stats_ops.stat_batch(b2, q2, l2, ones)
+
+        w1, wq1, rlen1, alive1, ft1, tf1 = _trim_one_end(b1, q1, l1, pre_trim1, cfg, False)
+        w2, wq2, rlen2, alive2, ft2, tf2 = _trim_one_end(b2, q2, l2, pre_trim2, cfg, True)
+        alive1 = alive1 & ~index_drop
+        alive2 = alive2 & ~index_drop
+        both = alive1 & alive2
+
+        if cfg.polyg_enabled:
+            rlen1 = jnp.where(both, polyx_ops.trim_polyg(w1, rlen1, cfg.polyg_min_len), rlen1)
+            rlen2 = jnp.where(both, polyx_ops.trim_polyg(w2, rlen2, cfg.polyg_min_len), rlen2)
+
+        out = {}
+        corr_matrix = jnp.zeros((64,), jnp.int32)
+        corrected = jnp.zeros((B,), jnp.int32)
+        r1c = jnp.zeros((B,), bool)
+        r2c = jnp.zeros((B,), bool)
+        ov_trimmed = jnp.zeros((B,), bool)
+        rlen1_pre_ovtrim = rlen1
+        rlen2_pre_ovtrim = rlen2
+
+        need_ov = cfg.adapter_enabled or cfg.correction_enabled
+        ov = overlap_ops.analyze(w1, rlen1, w2, rlen2,
+                                 cfg.overlap_diff_limit, cfg.overlap_require,
+                                 cfg.overlap_diff_pct,
+                                 cfg.allow_gap_overlap if need_ov else False)
+        ov_ok = ov["overlapped"] & both
+
+        # insert size (reference: statInsertSize, src/peprocessor.cpp:698-711)
+        isize = jnp.where(
+            ov_ok,
+            jnp.where(ov["offset"] > 0,
+                      rlen1 + rlen2 - ov["overlap_len"] + ft1 + ft2,
+                      ov["overlap_len"] + ft1 + ft2),
+            cfg.insert_size_max)
+        isize = jnp.minimum(isize, cfg.insert_size_max)
+        isize_hist = jnp.zeros((cfg.insert_size_max + 1,), jnp.int32).at[
+            jnp.where(both, isize, cfg.insert_size_max)].add(both.astype(jnp.int32))
+
+        if cfg.correction_enabled:
+            do = ov_ok & ~ov["has_gap"]
+            (w1, wq1, w2, wq2, corr_matrix, corrected, r1c, r2c) = \
+                correct_ops.correct_by_overlap(
+                    w1, wq1, rlen1, w2, wq2, rlen2,
+                    do, ov["offset"], ov["overlap_len"], ov["diff"])
+
+        if cfg.adapter_enabled:
+            nl1, nl2, ov_trimmed = adapter_ops.trim_by_overlap(
+                rlen1, rlen2, ov_ok, ov["offset"], ov["overlap_len"], ft1, ft2)
+            rlen1 = jnp.where(both, nl1, rlen1)
+            rlen2 = jnp.where(both, nl2, rlen2)
+            ov_trimmed = ov_trimmed & both
+
+        rlen1, ad1 = _apply_seq_adapters(w1, rlen1, both, cfg, False, ov_trimmed)
+        rlen2, ad2 = _apply_seq_adapters(w2, rlen2, both, cfg, True, ov_trimmed)
+
+        # overlapped_out: re-analysis with diff percent 0 on the
+        # adapter-trimmed (pre-polyX) reads (src/peprocessor.cpp:461-468)
+        if cfg.overlapped_out:
+            ov0 = overlap_ops.analyze(w1, rlen1, w2, rlen2,
+                                      cfg.overlap_diff_limit, cfg.overlap_require, 0.0)
+            out["ov0_ok"] = ov0["overlapped"] & both
+            out["ov0_offset"] = ov0["offset"]
+            out["ov0_len"] = ov0["overlap_len"]
+
+        rlen1, px_r1, px_b1 = _apply_polyx_maxlen(w1, rlen1, both, cfg, False)
+        rlen2, px_r2, px_b2 = _apply_polyx_maxlen(w2, rlen2, both, cfg, True)
+
+        # merge-mode overlap analysis on the final trimmed reads
+        if cfg.merge_enabled:
+            ovm = overlap_ops.analyze(w1, rlen1, w2, rlen2,
+                                      cfg.overlap_diff_limit, cfg.overlap_require,
+                                      cfg.overlap_diff_pct, False)
+            ovm_ok = ovm["overlapped"] & both
+            m_seq, m_qual, m_len, m_len1, m_len2 = merge_ops.merge_pairs(
+                w1, wq1, rlen1, w2, wq2, rlen2,
+                ovm_ok, ovm["offset"], ovm["overlap_len"], out_width=2 * L)
+            m_result = filter_ops.pass_filter(m_seq, m_qual, m_len, ovm_ok, fview)
+            m_emit = ovm_ok & (m_result == PASS_FILTER)
+            out["merged_ok"] = ovm_ok
+            out["m_seq"] = m_seq
+            out["m_qual"] = m_qual
+            out["m_len"] = m_len
+            out["m_len1"] = m_len1
+            out["m_len2"] = m_len2
+            out["m_result"] = m_result
+            out["m_emit"] = m_emit
+            out["post_merged"] = stats_ops.stat_batch(m_seq, m_qual, m_len, m_emit)
+
+        result1 = filter_ops.pass_filter(w1, wq1, rlen1, alive1, fview)
+        result2 = filter_ops.pass_filter(w2, wq2, rlen2, alive2, fview)
+        pass1 = (result1 == PASS_FILTER) & alive1
+        pass2 = (result2 == PASS_FILTER) & alive2
+        emit_pair = pass1 & pass2 & ~dedup_out & ~index_drop
+        post1 = stats_ops.stat_batch(w1, wq1, rlen1, emit_pair)
+        post2 = stats_ops.stat_batch(w2, wq2, rlen2, emit_pair)
+
+        out.update({
+            "pre1": pre1, "pre2": pre2, "post1": post1, "post2": post2,
+            "w1": w1, "wq1": wq1, "w2": w2, "wq2": wq2,
+            "total_front1": tf1, "total_front2": tf2,
+            "rlen1": rlen1, "rlen2": rlen2,
+            "result1": result1, "result2": result2,
+            "alive1": alive1, "alive2": alive2,
+            "pass1": pass1, "pass2": pass2,
+            "emit_pair": emit_pair,
+            "ov_trimmed": ov_trimmed,
+            "rlen1_pre_ovtrim": rlen1_pre_ovtrim,
+            "rlen2_pre_ovtrim": rlen2_pre_ovtrim,
+            "ad_found1": ad1["ad_found"], "ad_pos1": ad1["ad_pos"],
+            "ad_found2": ad2["ad_found"], "ad_pos2": ad2["ad_pos"],
+            "rlen1_pre_adapter": ad1["rlen_pre_adapter"],
+            "rlen1_post_adapter": ad1["rlen_post_adapter"],
+            "rlen2_pre_adapter": ad2["rlen_pre_adapter"],
+            "rlen2_post_adapter": ad2["rlen_post_adapter"],
+            "polyx_reads": px_r1 + px_r2,
+            "polyx_bases": px_b1 + px_b2,
+            "isize_hist": isize_hist,
+            "corr_matrix": corr_matrix,
+            "corrected": corrected,
+            "r1_corrected": r1c, "r2_corrected": r2c,
+        })
+        return out
+
+    return pe_step

@@ -1,0 +1,500 @@
+"""Paired-end streaming processor (reference: src/peprocessor.cpp:361-711).
+
+Output routing, unpaired/failed handling, merging, overlapped-out, insert
+size estimation, and adapter/correction accounting all follow the reference
+worker loop; the per-pair compute happens in one jitted device step.
+"""
+from __future__ import annotations
+
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+from ..config import Options, PASS_FILTER, FAILED_TYPES
+from ..io.fastq import FastqReader, OutputWriter, encode_batch
+from ..report.stats_model import Stats, cpp_num
+from ..report.filter_model import FilterResult
+from ..report.jsonreport import JsonReporter
+from ..report.htmlreport import HtmlReporter
+from ..utils.readname import fix_mgi
+from .device import build_pe_step
+from .runner import BaseProcessor, SplitWriterSet, _OverRepCounter, _round_width
+
+
+class _InterleavedPair:
+    """Reads records alternately from a single interleaved stream."""
+
+    def __init__(self, reader: FastqReader):
+        self.reader = reader
+
+    def read_pairs(self, n: int):
+        left, right = [], []
+        for _ in range(n):
+            r1 = self.reader.read()
+            if r1 is None:
+                break
+            r2 = self.reader.read()
+            if r2 is None:
+                break
+            left.append(r1)
+            right.append(r2)
+        return left, right
+
+
+class PairEndProcessor(BaseProcessor):
+    def __init__(self, opt: Options):
+        super().__init__(opt)
+        self.step = build_pe_step(self.cfg)
+        self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
+        self.pre_stats1 = Stats(opt, False, self.width)
+        self.post_stats1 = Stats(opt, False, self.width * 2)
+        self.pre_stats2 = Stats(opt, True, self.width)
+        self.post_stats2 = Stats(opt, True, self.width)
+        self.filter_result = FilterResult(opt, True)
+        self.insert_hist = np.zeros(opt.insertSizeMax + 1, np.int64)
+        self.overrep_pre1 = _OverRepCounter(self.pre_stats1, opt)
+        self.overrep_pre2 = _OverRepCounter(self.pre_stats2, opt)
+        self.overrep_post1 = _OverRepCounter(self.post_stats1, opt)
+        self.overrep_post2 = _OverRepCounter(self.post_stats2, opt)
+
+    def process(self) -> Dict:
+        opt = self.opt
+        if opt.interleavedInput:
+            pair_src = _InterleavedPair(FastqReader(opt.in1, opt.phred64))
+            reader1 = reader2 = None
+        else:
+            reader1 = FastqReader(opt.in1, opt.phred64)
+            reader2 = FastqReader(opt.in2, opt.phred64)
+            pair_src = None
+
+        writers = {}
+        split = None
+        if not opt.split.enabled:
+            if opt.out1:
+                writers["out1"] = OutputWriter(opt.out1, opt.compression,
+                                               buffer_size=opt.writerBufferSize)
+            if opt.out2:
+                writers["out2"] = OutputWriter(opt.out2, opt.compression,
+                                               buffer_size=opt.writerBufferSize)
+            if opt.outputToSTDOUT:
+                writers["stdout"] = OutputWriter("", opt.compression, to_stdout=True)
+            if opt.unpaired1:
+                writers["unpaired1"] = OutputWriter(opt.unpaired1, opt.compression,
+                                                    buffer_size=opt.writerBufferSize)
+            if opt.unpaired2 and opt.unpaired2 != opt.unpaired1:
+                writers["unpaired2"] = OutputWriter(opt.unpaired2, opt.compression,
+                                                    buffer_size=opt.writerBufferSize)
+            if opt.merge.enabled and opt.merge.out:
+                writers["merged"] = OutputWriter(opt.merge.out, opt.compression,
+                                                 buffer_size=opt.writerBufferSize)
+            if opt.failedOut:
+                writers["failed"] = OutputWriter(opt.failedOut, opt.compression,
+                                                 buffer_size=opt.writerBufferSize)
+            if opt.overlappedOut:
+                writers["overlapped"] = OutputWriter(opt.overlappedOut, opt.compression,
+                                                     buffer_size=opt.writerBufferSize)
+        else:
+            split = SplitWriterSet(opt, paired=True)
+
+        pairs_seen = 0
+        a1 = self.cfg.adapter_seq1
+        a2 = self.cfg.adapter_seq2
+
+        while True:
+            n = opt.batchSize
+            if opt.readsToProcess > 0:
+                n = min(n, opt.readsToProcess - pairs_seen)
+                if n <= 0:
+                    break
+            if pair_src is not None:
+                recs1, recs2 = pair_src.read_pairs(n)
+            else:
+                recs1 = reader1.read_batch(n)
+                recs2 = reader2.read_batch(n)
+            if not recs1 or not recs2:
+                break
+            if len(recs1) != len(recs2):
+                sys.stderr.write("\nWARNNIG: different read numbers of the input files\n"
+                                 "Read1 count: %d\nRead2 count: %d\n"
+                                 "Ignore the unmatched reads\n\n" % (len(recs1), len(recs2)))
+                m = min(len(recs1), len(recs2))
+                recs1, recs2 = recs1[:m], recs2[:m]
+            B = len(recs1)
+
+            names1 = [r.name for r in recs1]
+            names2 = [r.name for r in recs2]
+            seqs1 = [r.seq for r in recs1]
+            seqs2 = [r.seq for r in recs2]
+            quals1 = [r.qual for r in recs1]
+            quals2 = [r.qual for r in recs2]
+            strands1 = [r.strand for r in recs1]
+            strands2 = [r.strand for r in recs2]
+
+            index_drop = self._index_drop_mask(names1, names2)
+            if opt.fixMGI:
+                names1 = [fix_mgi(nm)[0] for nm in names1]
+                names2 = [fix_mgi(nm)[0] for nm in names2]
+            names1, names2, pre_trim1, pre_trim2 = self.umi.process_batch(
+                names1, seqs1, names2, seqs2)
+            pre_trim1 = np.asarray(pre_trim1, np.int32)
+            pre_trim2 = np.asarray(pre_trim2, np.int32)
+
+            maxlen = max(max(len(s) for s in seqs1), max(len(s) for s in seqs2))
+            if maxlen > self.width:
+                self.width = _round_width(maxlen)
+            b1, q1, l1 = encode_batch(recs1, self.width)
+            b2, q2, l2 = encode_batch(recs2, self.width)
+
+            dedup_out = np.zeros(B, bool)
+            if self.duplicate is not None:
+                dup = self.duplicate.check_batch_pe(b1, l1, b2, l2)
+                if opt.duplicate.dedup:
+                    dedup_out = dup
+
+            out = self.step(b1, q1, l1, b2, q2, l2,
+                            pre_trim1, pre_trim2, index_drop, dedup_out)
+            out = {k: (np.asarray(v) if not isinstance(v, dict)
+                       else {kk: np.asarray(vv) for kk, vv in v.items()})
+                   for k, v in out.items()}
+
+            self.pre_stats1.add_batch(out["pre1"])
+            self.pre_stats2.add_batch(out["pre2"])
+            self.insert_hist[:len(out["isize_hist"])] += out["isize_hist"]
+            self.filter_result.add_polyx_trimmed(out["polyx_reads"], out["polyx_bases"])
+
+            if opt.correction.enabled:
+                self.filter_result.add_correction_matrix(out["corr_matrix"])
+                corr = out["corrected"] > 0
+                both_c = out["r1_corrected"] & out["r2_corrected"]
+                self.filter_result.inc_corrected_reads(
+                    int((corr & both_c).sum()) * 2 + int((corr & ~both_c).sum()))
+
+            w1 = out["w1"]
+            wq1 = out["wq1"]
+            w2 = out["w2"]
+            wq2 = out["wq2"]
+            rlen1 = out["rlen1"]
+            rlen2 = out["rlen2"]
+
+            # --- adapter recording -----------------------------------------
+            if opt.adapter.enabled:
+                ovt = out["ov_trimmed"]
+                for i in np.flatnonzero(ovt):
+                    ad1b = w1[i, int(out["rlen1_pre_adapter"][i]):
+                              int(out["rlen1_pre_ovtrim"][i])].tobytes().decode("latin-1")
+                    ad2b = w2[i, int(out["rlen2_pre_adapter"][i]):
+                              int(out["rlen2_pre_ovtrim"][i])].tobytes().decode("latin-1")
+                    self.filter_result.add_adapter_trimmed_pair(ad1b, ad2b)
+                for found_key, pos_key, pre_key, post_key, warr, aseq, is_r2 in (
+                        ("ad_found1", "ad_pos1", "rlen1_pre_adapter", "rlen1_post_adapter", w1, a1, False),
+                        ("ad_found2", "ad_pos2", "rlen2_pre_adapter", "rlen2_post_adapter", w2, a2, True)):
+                    found = out[found_key]
+                    if not found.any():
+                        continue
+                    ad_pos = out[pos_key]
+                    for i in np.flatnonzero(found):
+                        p = int(ad_pos[i])
+                        if p < 0:
+                            adapter = aseq[:len(aseq) + p].decode()
+                        else:
+                            adapter = warr[i, p:int(out[pre_key][i])].tobytes().decode("latin-1")
+                        self.filter_result.add_adapter_trimmed(adapter, is_r2)
+
+            # --- overrepresentation sampling (pre) -------------------------
+            if self.overrep_pre1.enabled:
+                for i in range(B):
+                    self.overrep_pre1.stat_read(seqs1[i], pairs_seen + i)
+                    self.overrep_pre2.stat_read(seqs2[i], pairs_seen + i)
+
+            # --- outputs & filter-result counting --------------------------
+            parts = {k: [] for k in ("out1", "out2", "single", "unpaired1",
+                                     "unpaired2", "merged", "failed", "overlapped")}
+            result1 = out["result1"]
+            result2 = out["result2"]
+            pass1 = out["pass1"]
+            pass2 = out["pass2"]
+            merged_count = 0
+            read_passed = 0
+            post1_extra = 0
+
+            if opt.overlappedOut:
+                ov0 = out["ov0_ok"]
+                for i in np.flatnonzero(ov0):
+                    off = max(0, int(out["ov0_offset"][i]))
+                    ol = int(out["ov0_len"][i])
+                    # reference quirk (src/peprocessor.cpp:464): the
+                    # string(str, pos) ctor keeps the portion AFTER the overlap
+                    seq = w1[i, off:int(rlen1[i])].tobytes()[ol:]
+                    qual = wq1[i, off:int(rlen1[i])].tobytes()[ol:]
+                    parts["overlapped"] += [names1[i], b"\n", seq, b"\n",
+                                            strands1[i], b"\n", qual, b"\n"]
+
+            merge_on = opt.merge.enabled
+            if merge_on:
+                m_ok = out["merged_ok"]
+                m_res = out["m_result"]
+                m_seq = out["m_seq"]
+                m_qual = out["m_qual"]
+                m_len = out["m_len"]
+                m_len1 = out["m_len1"]
+                m_len2 = out["m_len2"]
+                self.post_stats1.add_batch(out["post_merged"])
+
+            for i in range(B):
+                if index_drop[i]:
+                    continue
+                merge_processed = False
+                if merge_on:
+                    if m_ok[i]:
+                        self.filter_result.add_filter_result(int(m_res[i]), 2)
+                        if m_res[i] == PASS_FILTER:
+                            tag = b" merged_%d_%d" % (int(m_len1[i]), int(m_len2[i]))
+                            strand = strands1[i]
+                            if strand != b"+":
+                                strand = strand + tag
+                            parts["merged"] += [
+                                names1[i] + tag, b"\n",
+                                m_seq[i, :int(m_len[i])].tobytes(), b"\n",
+                                strand, b"\n",
+                                m_qual[i, :int(m_len[i])].tobytes(), b"\n"]
+                            read_passed += 1
+                            merged_count += 1
+                        merge_processed = True
+                    elif opt.merge.includeUnmerged:
+                        r1ok = bool(out["alive1"][i]) and result1[i] == PASS_FILTER
+                        r2ok = bool(out["alive2"][i]) and result2[i] == PASS_FILTER
+                        self.filter_result.add_filter_result(int(result1[i]), 1)
+                        if r1ok and not dedup_out[i]:
+                            parts["merged"] += [names1[i], b"\n",
+                                                w1[i, :int(rlen1[i])].tobytes(), b"\n",
+                                                strands1[i], b"\n",
+                                                wq1[i, :int(rlen1[i])].tobytes(), b"\n"]
+                            self._stat_post1_read(w1[i, :int(rlen1[i])].tobytes(),
+                                                  wq1[i, :int(rlen1[i])].tobytes())
+                        self.filter_result.add_filter_result(int(result2[i]), 1)
+                        if r2ok and not dedup_out[i]:
+                            parts["merged"] += [names2[i], b"\n",
+                                                w2[i, :int(rlen2[i])].tobytes(), b"\n",
+                                                strands2[i], b"\n",
+                                                wq2[i, :int(rlen2[i])].tobytes(), b"\n"]
+                            self._stat_post1_read(w2[i, :int(rlen2[i])].tobytes(),
+                                                  wq2[i, :int(rlen2[i])].tobytes())
+                        if r1ok and r2ok:
+                            read_passed += 1
+                        merge_processed = True
+
+                if not merge_processed:
+                    self.filter_result.add_filter_result(
+                        max(int(result1[i]), int(result2[i])), 2)
+                    if dedup_out[i]:
+                        continue
+                    if pass1[i] and pass2[i]:
+                        s1 = w1[i, :int(rlen1[i])].tobytes()
+                        qq1 = wq1[i, :int(rlen1[i])].tobytes()
+                        s2 = w2[i, :int(rlen2[i])].tobytes()
+                        qq2 = wq2[i, :int(rlen2[i])].tobytes()
+                        if opt.outputToSTDOUT and not merge_on:
+                            parts["single"] += [names1[i], b"\n", s1, b"\n",
+                                                strands1[i], b"\n", qq1, b"\n",
+                                                names2[i], b"\n", s2, b"\n",
+                                                strands2[i], b"\n", qq2, b"\n"]
+                        else:
+                            parts["out1"] += [names1[i], b"\n", s1, b"\n",
+                                              strands1[i], b"\n", qq1, b"\n"]
+                            parts["out2"] += [names2[i], b"\n", s2, b"\n",
+                                              strands2[i], b"\n", qq2, b"\n"]
+                        if not merge_on:
+                            if self.overrep_post1.enabled:
+                                self.overrep_post1.stat_read(s1, read_passed)
+                                self.overrep_post2.stat_read(s2, read_passed)
+                        read_passed += 1
+                    elif pass1[i]:
+                        if opt.unpaired1:
+                            parts["unpaired1"] += [names1[i], b"\n",
+                                                   w1[i, :int(rlen1[i])].tobytes(), b"\n",
+                                                   strands1[i], b"\n",
+                                                   wq1[i, :int(rlen1[i])].tobytes(), b"\n"]
+                            if opt.failedOut:
+                                self._failed(parts, names2[i], seqs2[i], strands2[i],
+                                             quals2[i], pre_trim2[i],
+                                             FAILED_TYPES[int(result2[i])])
+                        else:
+                            if opt.failedOut:
+                                self._failed(parts, names1[i], seqs1[i], strands1[i],
+                                             quals1[i], pre_trim1[i], "paired_read_is_failing")
+                                self._failed(parts, names2[i], seqs2[i], strands2[i],
+                                             quals2[i], pre_trim2[i],
+                                             FAILED_TYPES[int(result2[i])])
+                    elif pass2[i]:
+                        target = None
+                        if opt.unpaired2 and opt.unpaired2 != opt.unpaired1:
+                            target = "unpaired2"
+                        elif opt.unpaired1:
+                            target = "unpaired1"
+                        if target:
+                            parts[target] += [names2[i], b"\n",
+                                              w2[i, :int(rlen2[i])].tobytes(), b"\n",
+                                              strands2[i], b"\n",
+                                              wq2[i, :int(rlen2[i])].tobytes(), b"\n"]
+                            if opt.failedOut:
+                                self._failed(parts, names1[i], seqs1[i], strands1[i],
+                                             quals1[i], pre_trim1[i],
+                                             FAILED_TYPES[int(result1[i])])
+                        else:
+                            if opt.failedOut:
+                                self._failed(parts, names1[i], seqs1[i], strands1[i],
+                                             quals1[i], pre_trim1[i],
+                                             FAILED_TYPES[int(result1[i])])
+                                self._failed(parts, names2[i], seqs2[i], strands2[i],
+                                             quals2[i], pre_trim2[i], "paired_read_is_failing")
+                    else:
+                        if opt.failedOut:
+                            self._failed(parts, names1[i], seqs1[i], strands1[i],
+                                         quals1[i], pre_trim1[i],
+                                         FAILED_TYPES[int(result1[i])])
+                            self._failed(parts, names2[i], seqs2[i], strands2[i],
+                                         quals2[i], pre_trim2[i],
+                                         FAILED_TYPES[int(result2[i])])
+
+            if not merge_on:
+                self.post_stats1.add_batch(out["post1"])
+                self.post_stats2.add_batch(out["post2"])
+            if merge_on:
+                self.filter_result.add_merged_pairs(merged_count)
+
+            # flush parts to writers
+            if opt.outputToSTDOUT:
+                blob = b"".join(parts["merged"] if merge_on else parts["single"])
+                sys.stdout.buffer.write(blob)
+            elif split is not None:
+                split.write1(b"".join(parts["out1"]),
+                             read_passed if opt.split.byFileLines else B,
+                             b"".join(parts["out2"]))
+            else:
+                for key in ("out1", "out2", "unpaired1", "unpaired2",
+                            "merged", "failed", "overlapped"):
+                    if key in writers and parts[key]:
+                        writers[key].write(b"".join(parts[key]))
+
+            pairs_seen += B
+
+        if reader1:
+            reader1.close()
+        if reader2:
+            reader2.close()
+        if pair_src is not None:
+            pair_src.reader.close()
+        for wtr in writers.values():
+            wtr.close()
+        if split is not None:
+            split.close()
+
+        return self._finish()
+
+    def _stat_post1_read(self, seq: bytes, qual: bytes):
+        """Single-read post-stats accumulation for includeUnmerged mode."""
+        st = self.post_stats1
+        n = len(seq)
+        if n > st.buf_len:
+            st._grow(_round_width(n))
+        s = np.frombuffer(seq, np.uint8)
+        q = np.frombuffer(qual, np.uint8).astype(np.int64)
+        slot = s & 7
+        st.reads += 1
+        st.length_sum += n
+        pos = np.arange(n)
+        np.add.at(st.cycle_content, (slot, pos), 1)
+        np.add.at(st.cycle_qual, (slot, pos), q - 33)
+        np.add.at(st.cycle_q20, (slot[q >= ord('5')], pos[q >= ord('5')]), 1)
+        np.add.at(st.cycle_q30, (slot[q >= ord('?')], pos[q >= ord('?')]), 1)
+        st.cycle_total_base[:n] += 1
+        st.cycle_total_qual[:n] += q - 33
+        np.add.at(st.qual_hist, np.clip(q, 0, 127), 1)
+        # kmers
+        v = np.full(n, -1, np.int64)
+        v[s == 65] = 0
+        v[s == 84] = 1
+        v[s == 67] = 2
+        v[s == 71] = 3
+        if n >= 5:
+            keys = np.zeros(n - 4, np.int64)
+            ok = np.ones(n - 4, bool)
+            for k in range(5):
+                chunk = v[k:k + n - 4]
+                keys = (keys << 2) | np.maximum(chunk, 0)
+                ok &= chunk >= 0
+            keys = ((keys << 0) & 0x3FF)
+            np.add.at(st.kmer, keys[ok], 1)
+        st._summarized = False
+
+    def _failed(self, parts, name, seq, strand, qual, pre_trim, tag):
+        p0 = int(pre_trim)
+        if isinstance(tag, str):
+            tag = tag.encode()
+        parts["failed"] += [name + b" " + tag, b"\n", seq[p0:], b"\n",
+                            strand, b"\n", qual[p0:], b"\n"]
+
+    def _finish(self) -> Dict:
+        opt = self.opt
+        sys.stderr.write("Read1 before filtering:\n")
+        self._print_stats(self.pre_stats1)
+        sys.stderr.write("\nRead2 before filtering:\n")
+        self._print_stats(self.pre_stats2)
+        if not opt.merge.enabled:
+            sys.stderr.write("\nRead1 after filtering:\n")
+            self._print_stats(self.post_stats1)
+            sys.stderr.write("\nRead2 after filtering:\n")
+            self._print_stats(self.post_stats2)
+        else:
+            sys.stderr.write("\nMerged and filtered:\n")
+            self._print_stats(self.post_stats1)
+        sys.stderr.write("\nFiltering result:\n")
+        from .runner import SingleEndProcessor
+        SingleEndProcessor._print_filter_result(self)
+
+        dup_rate = 0.0
+        if opt.duplicate.enabled:
+            dup_rate = self.duplicate.get_dup_rate()
+            sys.stderr.write("\nDuplication rate: %s%%\n" % cpp_num(dup_rate * 100.0))
+
+        peak = self._peak_insert_size()
+        sys.stderr.write("\nInsert size peak (evaluated by paired-end reads): %d\n" % peak)
+
+        if opt.merge.enabled:
+            sys.stderr.write("\nRead pairs merged: %d\n" % self.filter_result.merged_pairs)
+            if self.post_stats1.get_reads() > 0:
+                post_pct = 100.0 * self.filter_result.merged_pairs / self.post_stats1.get_reads()
+                pre_pct = 100.0 * self.filter_result.merged_pairs / self.pre_stats1.get_reads()
+                sys.stderr.write("%% of original read pairs: %s%%\n" % cpp_num(pre_pct))
+                sys.stderr.write("%% in reads after filtering: %s%%\n" % cpp_num(post_pct))
+            sys.stderr.write("\n")
+
+        jr = JsonReporter(opt)
+        jr.set_dup(dup_rate)
+        jr.set_insert_hist(self.insert_hist, peak)
+        jr.report(self.filter_result, self.pre_stats1, self.post_stats1,
+                  self.pre_stats2, self.post_stats2)
+        hr = HtmlReporter(opt)
+        hr.set_dup(dup_rate)
+        hr.set_insert_hist(self.insert_hist, peak)
+        hr.report(self.filter_result, self.pre_stats1, self.post_stats1,
+                  self.pre_stats2, self.post_stats2)
+        return {"pre1": self.pre_stats1, "post1": self.post_stats1,
+                "pre2": self.pre_stats2, "post2": self.post_stats2,
+                "filter": self.filter_result, "dup_rate": dup_rate,
+                "insert_peak": peak}
+
+    def _peak_insert_size(self) -> int:
+        """reference: src/peprocessor.cpp:337-347"""
+        peak = 0
+        max_count = -1
+        for i in range(self.opt.insertSizeMax):
+            if self.insert_hist[i] > max_count:
+                peak = i
+                max_count = int(self.insert_hist[i])
+        return peak
+
+    def _print_stats(self, st):
+        from .runner import SingleEndProcessor
+        SingleEndProcessor._print_stats(self, st)

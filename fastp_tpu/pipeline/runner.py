@@ -1,0 +1,406 @@
+"""Streaming SE/PE processors: host IO <-> device pipeline.
+
+Replaces the reference's reader/worker/writer thread fabric
+(reference: src/seprocessor.cpp, src/peprocessor.cpp) with a batched
+pipeline: decode batch -> one jitted device step -> serialize/emit.
+Output order is input order (equivalent to the reference, whose writer
+threads consume per-worker queues in pack order).
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Options, PASS_FILTER, FAILED_TYPES, FILTER_RESULT_TYPES
+from ..io.fastq import FastqReader, OutputWriter, encode_batch
+from ..duplicate import Duplicate
+from ..umi import UmiProcessor
+from ..utils.readname import fix_mgi, first_index, last_index
+from ..report.stats_model import Stats
+from ..report.filter_model import FilterResult
+from ..report.jsonreport import JsonReporter
+from ..report.htmlreport import HtmlReporter
+from .static_cfg import device_cfg_from_options
+from .device import build_se_step, build_pe_step
+
+
+def _round_width(n: int) -> int:
+    return max(32, -(-n // 32) * 32)
+
+
+def _index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
+    """reference: src/filter.cpp:242-258"""
+    t = target.decode("latin-1")
+    for item in blacklist:
+        diff = 0
+        ok = True
+        for s in range(min(len(item), len(t))):
+            if item[s] != t[s]:
+                diff += 1
+                if diff > threshold:
+                    ok = False
+                    break
+        if ok and diff <= threshold:
+            return True
+    return False
+
+
+class _OverRepCounter:
+    """Overrepresented-sequence counting on sampled reads
+    (reference: src/stats.cpp:312-329)."""
+
+    def __init__(self, stats: Stats, opt: Options):
+        self.stats = stats
+        self.sampling = opt.overRepAnalysis.sampling
+        self.enabled = opt.overRepAnalysis.enabled and len(stats.overrep) > 0
+        self.eval_len = stats.evaluated_seq_len
+
+    def stat_read(self, seq: bytes, read_index: int):
+        if not self.enabled or read_index % self.sampling != 0:
+            return
+        st = self.stats
+        rlen = len(seq)
+        steps = (10, 20, 40, 100, min(150, self.eval_len - 2))
+        for step in steps:
+            i = 0
+            while i < rlen - step:
+                k = seq[i:i + step].decode("latin-1")
+                if k in st.overrep:
+                    st.overrep[k] += 1
+                    dist = st.overrep_dist[k]
+                    for p in range(i, min(i + step, self.eval_len)):
+                        dist[p] += 1
+                    i += step
+                i += 1
+
+
+class BaseProcessor:
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.cfg = device_cfg_from_options(opt)
+        self.umi = UmiProcessor(opt)
+        self.duplicate = Duplicate(opt) if opt.duplicate.enabled else None
+        self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
+
+    def _index_drop_mask(self, names1, names2=None) -> np.ndarray:
+        n = len(names1)
+        mask = np.zeros(n, bool)
+        if not self.opt.indexFilter.enabled:
+            return mask
+        th = self.opt.indexFilter.threshold
+        bl1 = self.opt.indexFilter.blacklist1
+        bl2 = self.opt.indexFilter.blacklist2
+        for i in range(n):
+            if _index_match(bl1, first_index(names1[i]), th):
+                mask[i] = True
+            elif names2 is not None and _index_match(bl2, last_index(names2[i]), th):
+                mask[i] = True
+        return mask
+
+
+class SingleEndProcessor(BaseProcessor):
+    """reference: src/seprocessor.cpp:196-315"""
+
+    def __init__(self, opt: Options):
+        super().__init__(opt)
+        self.step = build_se_step(self.cfg)
+        self.pre_stats = Stats(opt, False, self.width)
+        self.post_stats = Stats(opt, False, self.width)
+        self.filter_result = FilterResult(opt, False)
+        self.overrep_pre = _OverRepCounter(self.pre_stats, opt)
+        self.overrep_post = _OverRepCounter(self.post_stats, opt)
+
+    def process(self) -> Dict:
+        opt = self.opt
+        reader = FastqReader(opt.in1, opt.phred64)
+        out_writer = None
+        failed_writer = None
+        if not opt.split.enabled:
+            if opt.out1 or opt.outputToSTDOUT:
+                out_writer = OutputWriter(opt.out1, opt.compression,
+                                          opt.outputToSTDOUT, opt.writerBufferSize)
+            if opt.failedOut:
+                failed_writer = OutputWriter(opt.failedOut, opt.compression,
+                                             buffer_size=opt.writerBufferSize)
+        split = SplitWriterSet(opt) if opt.split.enabled else None
+
+        reads_seen = 0
+        adapter_seq1 = self.cfg.adapter_seq1
+
+        while True:
+            n = opt.batchSize
+            if opt.readsToProcess > 0:
+                n = min(n, opt.readsToProcess - reads_seen)
+                if n <= 0:
+                    break
+            records = reader.read_batch(n)
+            if not records:
+                break
+
+            names = [r.name for r in records]
+            seqs = [r.seq for r in records]
+            quals = [r.qual for r in records]
+            strands = [r.strand for r in records]
+            B = len(records)
+
+            index_drop = self._index_drop_mask(names)
+            if opt.fixMGI:
+                names = [fix_mgi(nm)[0] for nm in names]
+            names, _, pre_trim, _ = self.umi.process_batch(names, seqs)
+            pre_trim = np.asarray(pre_trim, np.int32)
+
+            maxlen = max(len(s) for s in seqs)
+            if maxlen > self.width:
+                self.width = _round_width(maxlen)
+            bases, quals_arr, lengths = encode_batch(records, self.width)
+
+            dedup_out = np.zeros(B, bool)
+            if self.duplicate is not None:
+                dup = self.duplicate.check_batch_se(bases, lengths)
+                if opt.duplicate.dedup:
+                    dedup_out = dup
+
+            out = self.step(bases, quals_arr, lengths,
+                            pre_trim, index_drop, dedup_out)
+            out = {k: (np.asarray(v) if not isinstance(v, dict)
+                       else {kk: np.asarray(vv) for kk, vv in v.items()})
+                   for k, v in out.items()}
+
+            self.pre_stats.add_batch(out["pre"])
+            self.post_stats.add_batch(out["post"])
+
+            # filter result counting (exclude index-dropped)
+            res = out["result"][~index_drop]
+            self.filter_result.add_filter_result_array(res, 1)
+            self.filter_result.add_polyx_trimmed(out["polyx_reads"], out["polyx_bases"])
+
+            # adapter recording
+            ad_found = out["ad_found"]
+            if ad_found.any():
+                ad_pos = out["ad_pos"]
+                tf = out["total_front"]
+                pre_ad = out["rlen_pre_adapter"]
+                post_ad = out["rlen_post_adapter"]
+                alen = len(adapter_seq1)
+                for i in np.flatnonzero(ad_found):
+                    p = int(ad_pos[i])
+                    if p < 0:
+                        adapter = adapter_seq1[:alen + p].decode()
+                    else:
+                        s0 = int(tf[i])
+                        adapter = seqs[i][s0 + int(post_ad[i]): s0 + int(pre_ad[i])].decode()
+                    self.filter_result.add_adapter_trimmed(adapter, False)
+
+            # overrepresentation sampling (pre on original, post on emitted)
+            if self.overrep_pre.enabled:
+                for i in range(B):
+                    self.overrep_pre.stat_read(seqs[i], reads_seen + i)
+            # serialization
+            emit = out["emit"]
+            tf = out["total_front"]
+            rlen = out["rlen"]
+            result = out["result"]
+            out_parts = []
+            failed_parts = []
+            post_count = 0
+            for i in range(B):
+                if emit[i]:
+                    s0 = int(tf[i])
+                    s1 = s0 + int(rlen[i])
+                    out_parts.append(names[i])
+                    out_parts.append(b"\n")
+                    out_parts.append(seqs[i][s0:s1])
+                    out_parts.append(b"\n")
+                    out_parts.append(strands[i])
+                    out_parts.append(b"\n")
+                    out_parts.append(quals[i][s0:s1])
+                    out_parts.append(b"\n")
+                    if self.overrep_post.enabled:
+                        self.overrep_post.stat_read(seqs[i][s0:s1], post_count)
+                    post_count += 1
+                elif (failed_writer is not None and not index_drop[i]
+                      and not dedup_out[i]):
+                    p0 = int(pre_trim[i])
+                    tag = FAILED_TYPES[int(result[i])].encode()
+                    failed_parts.append(names[i] + b" " + tag)
+                    failed_parts.append(b"\n")
+                    failed_parts.append(seqs[i][p0:])
+                    failed_parts.append(b"\n")
+                    failed_parts.append(strands[i])
+                    failed_parts.append(b"\n")
+                    failed_parts.append(quals[i][p0:])
+                    failed_parts.append(b"\n")
+
+            blob = b"".join(out_parts)
+            if split is not None:
+                split.write1(blob, post_count if opt.split.byFileLines else B)
+            elif out_writer is not None:
+                out_writer.write(blob)
+            if failed_writer is not None:
+                failed_writer.write(b"".join(failed_parts))
+
+            reads_seen += B
+
+        reader.close()
+        if out_writer:
+            out_writer.close()
+        if failed_writer:
+            failed_writer.close()
+        if split is not None:
+            split.close()
+
+        return self._finish()
+
+    def _finish(self) -> Dict:
+        opt = self.opt
+        sys.stderr.write("Read1 before filtering:\n")
+        self._print_stats(self.pre_stats)
+        sys.stderr.write("\nRead1 after filtering:\n")
+        self._print_stats(self.post_stats)
+        sys.stderr.write("\nFiltering result:\n")
+        self._print_filter_result()
+        dup_rate = 0.0
+        if opt.duplicate.enabled:
+            dup_rate = self.duplicate.get_dup_rate()
+            sys.stderr.write(
+                "\nDuplication rate (may be overestimated since this is SE data): %s%%\n"
+                % _cpp_pct(dup_rate * 100.0))
+        jr = JsonReporter(opt)
+        jr.set_dup(dup_rate)
+        jr.report(self.filter_result, self.pre_stats, self.post_stats)
+        hr = HtmlReporter(opt)
+        hr.set_dup(dup_rate)
+        hr.report(self.filter_result, self.pre_stats, self.post_stats)
+        return {"pre": self.pre_stats, "post": self.post_stats,
+                "filter": self.filter_result, "dup_rate": dup_rate}
+
+    def _print_stats(self, st: Stats):
+        st.summarize()
+        sys.stderr.write("total reads: %d\n" % st.reads)
+        sys.stderr.write("total bases: %d\n" % st.bases)
+        b = st.bases if st.bases else 1
+        sys.stderr.write("Q20 bases: %d(%s%%)\n" % (st.q20_total, _cpp_pct(st.q20_total * 100.0 / st.bases if st.bases else float('nan'))))
+        sys.stderr.write("Q30 bases: %d(%s%%)\n" % (st.q30_total, _cpp_pct(st.q30_total * 100.0 / st.bases if st.bases else float('nan'))))
+        sys.stderr.write("Q40 bases: %d(%s%%)\n" % (st.q40_total, _cpp_pct(st.q40_total * 100.0 / st.bases if st.bases else float('nan'))))
+
+    def _print_filter_result(self):
+        fr = self.filter_result
+        opt = self.opt
+        from ..config import FAIL_QUALITY, FAIL_N_BASE, FAIL_LENGTH, FAIL_TOO_LONG, FAIL_COMPLEXITY
+        sys.stderr.write("reads passed filter: %d\n" % fr.filter_read_stats[PASS_FILTER])
+        sys.stderr.write("reads failed due to low quality: %d\n" % fr.filter_read_stats[FAIL_QUALITY])
+        sys.stderr.write("reads failed due to too many N: %d\n" % fr.filter_read_stats[FAIL_N_BASE])
+        if opt.lengthFilter.enabled:
+            sys.stderr.write("reads failed due to too short: %d\n" % fr.filter_read_stats[FAIL_LENGTH])
+            if opt.lengthFilter.maxLength > 0:
+                sys.stderr.write("reads failed due to too long: %d\n" % fr.filter_read_stats[FAIL_TOO_LONG])
+        if opt.complexityFilter.enabled:
+            sys.stderr.write("reads failed due to low complexity: %d\n" % fr.filter_read_stats[FAIL_COMPLEXITY])
+        if opt.adapter.enabled:
+            sys.stderr.write("reads with adapter trimmed: %d\n" % fr.trimmed_adapter_reads)
+            sys.stderr.write("bases trimmed due to adapters: %d\n" % fr.trimmed_adapter_bases)
+        if opt.polyXTrim.enabled:
+            sys.stderr.write("reads with polyX in 3' end: %d\n" % fr.get_total_polyx_trimmed_reads())
+            sys.stderr.write("bases trimmed in polyX tail: %d\n" % fr.get_total_polyx_trimmed_bases())
+        if opt.correction.enabled:
+            sys.stderr.write("reads corrected by overlap analysis: %d\n" % fr.corrected_reads)
+            sys.stderr.write("bases corrected by overlap analysis: %d\n" % fr.get_total_corrected_bases())
+
+
+def _cpp_pct(x: float) -> str:
+    from ..report.stats_model import cpp_num
+    return cpp_num(x)
+
+
+class SplitWriterSet:
+    """Split-output rotation (reference: src/threadconfig.cpp:106-157).
+
+    Emulates the reference's per-worker round-robin file numbering with
+    `thread` virtual workers: worker t owns file numbers t+1, t+1+T, ...
+    """
+
+    def __init__(self, opt: Options, paired: bool = False):
+        self.opt = opt
+        self.paired = paired
+        self.T = opt.thread
+        self.next_worker = 0
+        self.worker_split = list(range(1, self.T + 1))  # current file number per worker
+        self.worker_count = [0] * self.T
+        self.worker_files = [0] * self.T  # files generated per worker
+        self.cur = {}
+        self._writers1 = [None] * self.T
+        self._writers2 = [None] * self.T
+        self.finished = [False] * self.T
+
+    def _filename(self, number: int, base: str) -> str:
+        d = self.opt.split.digits
+        num = str(number)
+        if d > 0:
+            num = num.zfill(d)
+        import os
+        dirname, fname = os.path.split(base)
+        return os.path.join(dirname, "%s.%s" % (num, fname)) if dirname else "%s.%s" % (num, fname)
+
+    def _open(self, t: int):
+        opt = self.opt
+        if opt.out1:
+            self._writers1[t] = OutputWriter(self._filename(self.worker_split[t], opt.out1),
+                                             opt.compression, buffer_size=opt.writerBufferSize)
+        if self.paired and opt.out2:
+            self._writers2[t] = OutputWriter(self._filename(self.worker_split[t], opt.out2),
+                                             opt.compression, buffer_size=opt.writerBufferSize)
+        self.worker_files[t] += 1
+
+    def write1(self, blob: bytes, processed: int, blob2: bytes = None):
+        t = self.next_worker
+        self.next_worker = (self.next_worker + 1) % self.T
+        if self.finished[t]:
+            return
+        if self._writers1[t] is None and self.opt.out1:
+            self._open(t)
+        if self._writers1[t] is not None:
+            self._writers1[t].write(blob)
+        if blob2 is not None and self._writers2[t] is not None:
+            self._writers2[t].write(blob2)
+        self._mark(t, processed)
+
+    def _mark(self, t: int, count: int):
+        """reference: src/threadconfig.cpp:127-147"""
+        opt = self.opt
+        self.worker_count[t] += count
+        if self.worker_count[t] >= opt.split.size:
+            self.worker_count[t] = 0
+            if opt.split.byFileNumber:
+                # stop when this worker's file quota is reached
+                generated = self.worker_files[t]
+                total_done = generated * self.T  # approximation of cross-worker count
+            self.worker_split[t] += self.T
+            if self._writers1[t]:
+                self._writers1[t].close()
+                self._writers1[t] = None
+            if self._writers2[t]:
+                self._writers2[t].close()
+                self._writers2[t] = None
+            if opt.split.byFileNumber and self.worker_split[t] > opt.split.number:
+                self.finished[t] = True
+
+    def close(self):
+        for t in range(self.T):
+            if self._writers1[t]:
+                self._writers1[t].close()
+            if self._writers2[t]:
+                self._writers2[t].close()
+        # fill the quota with empty files (reference: threadconfig.cpp:151-157)
+        if self.opt.split.byFileNumber:
+            for num in range(1, self.opt.split.number + 1):
+                import os
+                f1 = self._filename(num, self.opt.out1) if self.opt.out1 else None
+                if f1 and not os.path.exists(f1):
+                    open(f1, "wb").close()
+                if self.paired and self.opt.out2:
+                    f2 = self._filename(num, self.opt.out2)
+                    if not os.path.exists(f2):
+                        open(f2, "wb").close()

@@ -1,0 +1,267 @@
+"""HTML report emitter (reference: src/htmlreporter.cpp).
+
+Self-contained HTML with embedded Plotly-based curves mirroring the
+reference's sections: summary, filtering result, duplication, insert size,
+adapters, quality/content/kmer/ORA per read end, before/after filtering.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..config import Options, FASTP_TPU_VER, PASS_FILTER, FAIL_QUALITY, \
+    FAIL_N_BASE, FAIL_LENGTH, FAIL_TOO_LONG, FAIL_COMPLEXITY
+from .stats_model import Stats, cpp_num, kmer2, kmer3
+from .filter_model import FilterResult
+
+
+def _fmt_number(n: int) -> str:
+    """reference: HtmlReporter::formatNumber -- K/M/G suffixes."""
+    n = float(n)
+    units = ["", "K", "M", "G", "T", "P"]
+    order = 0
+    while n >= 1000.0 and order < len(units) - 1:
+        order += 1
+        n /= 1000.0
+    if order == 0:
+        return str(int(n))
+    return "%.6f %s" % (n, units[order])
+
+
+def _pct(num, den) -> str:
+    if den == 0:
+        return "0.000000%"
+    return "%.6f%%" % (num * 100.0 / den)
+
+
+class HtmlReporter:
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.dup_rate = 0.0
+        self.insert_hist = None
+        self.insert_size_peak = 0
+
+    def set_dup(self, dup_rate: float):
+        self.dup_rate = dup_rate
+
+    def set_insert_hist(self, hist, peak: int):
+        self.insert_hist = hist
+        self.insert_size_peak = peak
+
+    def _curves_section(self, w, st: Stats, filtering_type: str, read_name: str):
+        st.summarize()
+        div_base = ("%s: %s" % (filtering_type, read_name)).replace(" ", "_").replace(":", "_")
+        cycles = st.cycles
+        x = list(range(1, cycles + 1))
+        # quality curves
+        w("<div class='subsection_title'>%s: %s: quality</div>\n" % (filtering_type, read_name))
+        w("<div class='figure' id='plot_q_%s'></div>\n" % div_base)
+        w("<script type=\"text/javascript\">\n")
+        w("var data=[")
+        colors = {"A": "rgba(128,128,0,1.0)", "T": "rgba(128,0,128,1.0)",
+                  "C": "rgba(0,255,0,1.0)", "G": "rgba(0,0,255,1.0)",
+                  "mean": "rgba(20,20,20,1.0)"}
+        for base in ["A", "T", "C", "G", "mean"]:
+            curve = st.quality_curves[base]
+            w("{x:[%s],y:[%s],name:'%s',mode:'lines',line:{color:'%s',width:1}},"
+              % (",".join(map(str, x)), ",".join(cpp_num(v) for v in curve),
+                 base, colors[base]))
+        w("];\n")
+        w("Plotly.newPlot('plot_q_%s', data, {xaxis:{title:'position'}, yaxis:{title:'quality'}});\n" % div_base)
+        w("</script>\n")
+        # content curves
+        w("<div class='subsection_title'>%s: %s: base contents</div>\n" % (filtering_type, read_name))
+        w("<div class='figure' id='plot_c_%s'></div>\n" % div_base)
+        w("<script type=\"text/javascript\">\n")
+        w("var data=[")
+        colors2 = {"A": "rgba(128,128,0,1.0)", "T": "rgba(128,0,128,1.0)",
+                   "C": "rgba(0,255,0,1.0)", "G": "rgba(0,0,255,1.0)",
+                   "N": "rgba(255, 0, 0, 1.0)", "GC": "rgba(20,20,20,1.0)"}
+        for base in ["A", "T", "C", "G", "N", "GC"]:
+            curve = st.content_curves[base]
+            w("{x:[%s],y:[%s],name:'%s',mode:'lines',line:{color:'%s',width:1}},"
+              % (",".join(map(str, x)), ",".join(cpp_num(v) for v in curve),
+                 base, colors2[base]))
+        w("];\n")
+        w("Plotly.newPlot('plot_c_%s', data, {xaxis:{title:'position'}, yaxis:{title:'base content ratios'}});\n" % div_base)
+        w("</script>\n")
+        # kmer table
+        w("<div class='subsection_title'>%s: %s: KMER counting</div>\n" % (filtering_type, read_name))
+        w("<table class='kmer_table'>\n<tr><td></td>")
+        for h in range(16):
+            w("<td>%s</td>" % kmer2(h))
+        w("</tr>\n")
+        mean_bases = (st.bases + 1) / 2048.0
+        for i in range(64):
+            w("<tr><td>%s</td>" % kmer3(i))
+            for j in range(16):
+                target = (i << 4) + j
+                val = int(st.kmer[target])
+                prop = val / mean_bases
+                frac = 0.5
+                if prop > 2.0:
+                    frac = (prop - 2.0) / 20.0 + 0.5
+                elif prop < 0.5:
+                    frac = prop
+                frac = max(0.01, min(1.0, frac))
+                r = int((1.0 - frac) * 255)
+                w("<td style='background:#%02x%02x%02x' title='%s%s: %d'>%s%s</td>"
+                  % (r, r, r, kmer3(i), kmer2(j), val, kmer3(i), kmer2(j)))
+            w("</tr>\n")
+        w("</table>\n")
+        # overrepresented sequences
+        if self.opt.overRepAnalysis.enabled:
+            w("<div class='subsection_title'>%s: %s: overrepresented sequences</div>\n"
+              % (filtering_type, read_name))
+            w("<table class='summary_table'>\n")
+            w("<tr style='font-weight:bold;'><td>overrepresented sequence</td>"
+              "<td>count (%% of bases)</td></tr>\n")
+            found = 0
+            for seq in sorted(st.overrep):
+                count = st.overrep[seq]
+                if not st.overrep_passed(seq, count):
+                    continue
+                found += 1
+                pct = (100.0 * count * len(seq) * self.opt.overRepAnalysis.sampling) / max(st.bases, 1)
+                w("<tr><td style='word-break:break-all;font-size:8px;'>%s</td>"
+                  "<td>%d (%.6f%%)</td></tr>\n" % (seq, count, pct))
+            if found == 0:
+                w("<tr><td style='text-align:center' colspan='2'>not found</td></tr>\n")
+            w("</table>\n")
+
+    def report(self, result: FilterResult, pre1: Stats, post1: Stats,
+               pre2: Stats = None, post2: Stats = None):
+        opt = self.opt
+        paired = opt.isPaired()
+        with open(opt.htmlFile, "w") as f:
+            w = f.write
+            w("<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"utf-8\">\n")
+            w("<script src=\"https://cdn.plot.ly/plotly-latest.min.js\"></script>\n")
+            w("<title>%s</title>\n" % opt.reportTitle)
+            w("<style>body{font-family:Arial;font-size:14px;}"
+              ".summary_table{border-collapse:collapse;}"
+              ".summary_table td{border:1px solid #eee;padding:3px 8px;}"
+              ".kmer_table{border-collapse:collapse;font-size:8px;}"
+              ".kmer_table td{padding:1px 2px;text-align:center;}"
+              ".section_title{font-size:20px;color:#ffffff;background:#556699;"
+              "padding:5px;margin-top:15px;}"
+              ".subsection_title{font-size:16px;color:#556699;padding:4px 0;"
+              "font-weight:bold;}</style>\n")
+            w("</head>\n<body>\n")
+            w("<h1>%s</h1>\n" % opt.reportTitle)
+
+            pre_reads = pre1.get_reads() + (pre2.get_reads() if pre2 else 0)
+            pre_bases = pre1.get_bases() + (pre2.get_bases() if pre2 else 0)
+            pre_q20 = pre1.get_q20() + (pre2.get_q20() if pre2 else 0)
+            pre_q30 = pre1.get_q30() + (pre2.get_q30() if pre2 else 0)
+            pre_gc = pre1.get_gc_number() + (pre2.get_gc_number() if pre2 else 0)
+            post_reads = post1.get_reads() + (post2.get_reads() if post2 else 0)
+            post_bases = post1.get_bases() + (post2.get_bases() if post2 else 0)
+            post_q20 = post1.get_q20() + (post2.get_q20() if post2 else 0)
+            post_q30 = post1.get_q30() + (post2.get_q30() if post2 else 0)
+            post_gc = post1.get_gc_number() + (post2.get_gc_number() if post2 else 0)
+
+            w("<div class='section_title'>Summary</div>\n")
+            w("<table class='summary_table'>\n")
+            seq_info = ("paired end (%d cycles + %d cycles)" % (pre1.get_cycles(), pre2.get_cycles())
+                        if paired else "single end (%d cycles)" % pre1.get_cycles())
+            rows = [
+                ("fastp version:", "%s (fastp_tpu)" % FASTP_TPU_VER),
+                ("sequencing:", seq_info),
+            ]
+            for k, v in rows:
+                w("<tr><td class='col1'>%s</td><td class='col2'>%s</td></tr>\n" % (k, v))
+            w("</table>\n")
+
+            for title, reads, bases, q20, q30, gc, st1, st2 in (
+                    ("Before filtering", pre_reads, pre_bases, pre_q20, pre_q30, pre_gc, pre1, pre2),
+                    ("After filtering", post_reads, post_bases, post_q20, post_q30, post_gc, post1, post2)):
+                w("<div class='subsection_title'>%s</div>\n" % title)
+                w("<table class='summary_table'>\n")
+                w("<tr><td>total reads:</td><td>%s</td></tr>\n" % _fmt_number(reads))
+                w("<tr><td>total bases:</td><td>%s</td></tr>\n" % _fmt_number(bases))
+                w("<tr><td>Q20 bases:</td><td>%s (%s)</td></tr>\n" % (_fmt_number(q20), _pct(q20, bases)))
+                w("<tr><td>Q30 bases:</td><td>%s (%s)</td></tr>\n" % (_fmt_number(q30), _pct(q30, bases)))
+                w("<tr><td>GC content:</td><td>%s</td></tr>\n" % _pct(gc, bases))
+                w("</table>\n")
+
+            w("<div class='section_title'>Filtering result</div>\n")
+            w("<table class='summary_table'>\n")
+            frs = result.filter_read_stats
+            total = max(pre_reads, 1)
+            w("<tr><td>reads passed filters:</td><td>%s (%.6f%%)</td></tr>\n"
+              % (_fmt_number(frs[PASS_FILTER]), frs[PASS_FILTER] * 100.0 / total))
+            if opt.correction.enabled:
+                w("<tr><td>reads corrected:</td><td>%s (%.6f%%)</td></tr>\n"
+                  % (_fmt_number(result.corrected_reads), result.corrected_reads * 100.0 / total))
+                w("<tr><td>bases corrected:</td><td>%s (%.6f%%)</td></tr>\n"
+                  % (_fmt_number(result.get_total_corrected_bases()),
+                     result.get_total_corrected_bases() * 100.0 / max(pre_bases, 1)))
+            w("<tr><td>reads with low quality:</td><td>%s (%.6f%%)</td></tr>\n"
+              % (_fmt_number(frs[FAIL_QUALITY]), frs[FAIL_QUALITY] * 100.0 / total))
+            w("<tr><td>reads with too many N:</td><td>%s (%.6f%%)</td></tr>\n"
+              % (_fmt_number(frs[FAIL_N_BASE]), frs[FAIL_N_BASE] * 100.0 / total))
+            if opt.lengthFilter.enabled:
+                w("<tr><td>reads too short:</td><td>%s (%.6f%%)</td></tr>\n"
+                  % (_fmt_number(frs[FAIL_LENGTH]), frs[FAIL_LENGTH] * 100.0 / total))
+                if opt.lengthFilter.maxLength > 0:
+                    w("<tr><td>reads too long:</td><td>%s (%.6f%%)</td></tr>\n"
+                      % (_fmt_number(frs[FAIL_TOO_LONG]), frs[FAIL_TOO_LONG] * 100.0 / total))
+            if opt.complexityFilter.enabled:
+                w("<tr><td>reads with low complexity:</td><td>%s (%.6f%%)</td></tr>\n"
+                  % (_fmt_number(frs[FAIL_COMPLEXITY]), frs[FAIL_COMPLEXITY] * 100.0 / total))
+            w("</table>\n")
+
+            if opt.duplicate.enabled:
+                w("<div class='section_title'>Duplication</div>\n")
+                w("<div>duplication rate: %.6f%%</div>\n" % (self.dup_rate * 100.0))
+
+            if paired and self.insert_hist is not None:
+                w("<div class='section_title'>Insert size estimation</div>\n")
+                w("<div>insert size peak: %d</div>\n" % self.insert_size_peak)
+                w("<div class='figure' id='plot_insert'></div>\n")
+                w("<script type=\"text/javascript\">\n")
+                hist = [int(v) for v in self.insert_hist[:opt.insertSizeMax]]
+                w("var data=[{x:[%s],y:[%s],type:'bar'}];\n"
+                  % (",".join(str(i) for i in range(len(hist))),
+                     ",".join(str(v) for v in hist)))
+                w("Plotly.newPlot('plot_insert', data, {xaxis:{title:'insert size'}, yaxis:{title:'read count'}});\n")
+                w("</script>\n")
+
+            if result is not None and opt.adapterCuttingEnabled():
+                w("<div class='section_title'>Adapters</div>\n")
+                for title, counts in [("Adapter or bad ligation of read1", result.adapter1)] + (
+                        [("Adapter or bad ligation of read2", result.adapter2)] if paired else []):
+                    w("<div class='subsection_title'>%s</div>\n" % title)
+                    w("<table class='summary_table'>\n")
+                    w("<tr><td style='color:#ffffff;background:#556699'>Sequence</td>"
+                      "<td style='color:#ffffff;background:#556699'>Occurrences</td></tr>\n")
+                    tot = sum(counts.values())
+                    reported = 0
+                    for seq in sorted(counts):
+                        c = counts[seq]
+                        if tot and c / tot < 0.01:
+                            continue
+                        w("<tr><td>%s</td><td>%d</td></tr>\n" % (seq, c))
+                        reported += c
+                    if tot - reported > 0:
+                        tag = "other adapter sequences" if reported else "all adapter sequences"
+                        w("<tr><td>%s</td><td>%d</td></tr>\n" % (tag, tot - reported))
+                    w("</table>\n")
+
+            # per read-end curve sections
+            w("<div class='section_title'>Before filtering</div>\n")
+            self._curves_section(w, pre1, "Before filtering", "read1")
+            if pre2 is not None:
+                self._curves_section(w, pre2, "Before filtering", "read2")
+            title_after = "After filtering"
+            w("<div class='section_title'>%s</div>\n" % title_after)
+            self._curves_section(w, post1, title_after,
+                                 "merged" if opt.merge.enabled else "read1")
+            if post2 is not None and not opt.merge.enabled:
+                self._curves_section(w, post2, title_after, "read2")
+
+            w("<div class='section_title'>Command</div>\n")
+            w("<div style='font-size:12px;font-family:monospace'>%s</div>\n" % opt.command)
+            w("</body>\n</html>\n")
