@@ -1,0 +1,94 @@
+"""Data-parallel execution over a jax.sharding.Mesh.
+
+The reference scales with worker threads over read packs
+(reference: src/peprocessor.cpp:750-754); the TPU-native equivalent is
+read-batch sharding over a 1-D 'dp' device mesh.  Batch tensors are sharded
+on the batch axis, per-read outputs come back sharded, and batch-reduced
+stat tensors are summed across shards by XLA-inserted collectives (psum over
+ICI) via replicated output shardings.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = 0) -> Mesh:
+    devs = jax.devices()
+    if n_devices and n_devices < len(devs):
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dp",))
+
+
+# stat-tensor output keys that must be reduced across shards
+_REDUCED_KEYS = ("pre", "post", "pre1", "pre2", "post1", "post2",
+                 "post_merged", "isize_hist", "corr_matrix",
+                 "polyx_reads", "polyx_bases")
+
+
+def _out_shardings_for(tree, mesh):
+    """Per-read arrays sharded on dp; reduced stats replicated."""
+    shard = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    def assign(path_key, leaf):
+        return repl if path_key in _REDUCED_KEYS else shard
+
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out[k] = {kk: repl for kk in v}
+        elif k in _REDUCED_KEYS:
+            out[k] = repl
+        else:
+            out[k] = shard
+    return out
+
+
+def build_sharded_step(step_fn, mesh: Mesh, n_batch_args: int):
+    """Wrap a device step for mesh execution.
+
+    step_fn: the un-jitted/batch step (build_se_step/build_pe_step result).
+    n_batch_args: number of leading array args sharded on the batch axis
+    (all args are batch-major here, so all get P('dp')).
+
+    Returns a callable taking numpy arrays; stats outputs are replicated
+    (already summed across shards), per-read outputs are gathered to host.
+    """
+    shard = NamedSharding(mesh, P("dp"))
+
+    jitted = {}
+
+    def call(*args):
+        put = [jax.device_put(a, shard) for a in args]
+        key = tuple((a.shape, str(a.dtype)) for a in args)
+        if key not in jitted:
+            # trace once to learn the output tree, then re-jit with shardings
+            out_tree = jax.eval_shape(step_fn, *put)
+            out_sh = _out_shardings_for(out_tree, mesh)
+            jitted[key] = jax.jit(step_fn, out_shardings=out_sh)
+        return jitted[key](*put)
+
+    return call
+
+
+def pad_to_multiple(arrays_1d_or_2d, n: int, batch: int):
+    """Pad batch-major numpy arrays so batch % n == 0.
+
+    Returns (padded_list, valid_mask, padded_batch)."""
+    rem = batch % n
+    pad = 0 if rem == 0 else n - rem
+    out = []
+    for a in arrays_1d_or_2d:
+        if pad == 0:
+            out.append(a)
+        else:
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            out.append(np.pad(a, widths))
+    valid = np.ones(batch + pad, bool)
+    if pad:
+        valid[batch:] = False
+    return out, valid, batch + pad

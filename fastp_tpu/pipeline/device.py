@@ -125,12 +125,11 @@ def build_se_step(cfg: DeviceCfg):
     fview = _FilterCfgView(cfg)
 
     @jax.jit
-    def se_step(bases, quals, lengths, pre_trim, index_drop, dedup_out):
-        pre = stats_ops.stat_batch(bases, quals, lengths,
-                                   jnp.ones(lengths.shape, bool))
+    def se_step(bases, quals, lengths, pre_trim, index_drop, dedup_out, valid):
+        pre = stats_ops.stat_batch(bases, quals, lengths, valid)
         w_b, w_q, rlen, alive, front_trimmed, total_front = _trim_one_end(
             bases, quals, lengths, pre_trim, cfg, is_r2=False)
-        alive = alive & ~index_drop
+        alive = alive & ~index_drop & valid
         if cfg.polyg_enabled:
             rlen = jnp.where(alive, polyx_ops.trim_polyg(w_b, rlen, cfg.polyg_min_len), rlen)
         rlen, ad = _apply_seq_adapters(w_b, rlen, alive, cfg, is_r2=False)
@@ -161,16 +160,16 @@ def build_pe_step(cfg: DeviceCfg):
     fview = _FilterCfgView(cfg)
 
     @jax.jit
-    def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop, dedup_out):
+    def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop,
+                dedup_out, valid):
         B, L = b1.shape
-        ones = jnp.ones((B,), bool)
-        pre1 = stats_ops.stat_batch(b1, q1, l1, ones)
-        pre2 = stats_ops.stat_batch(b2, q2, l2, ones)
+        pre1 = stats_ops.stat_batch(b1, q1, l1, valid)
+        pre2 = stats_ops.stat_batch(b2, q2, l2, valid)
 
         w1, wq1, rlen1, alive1, ft1, tf1 = _trim_one_end(b1, q1, l1, pre_trim1, cfg, False)
         w2, wq2, rlen2, alive2, ft2, tf2 = _trim_one_end(b2, q2, l2, pre_trim2, cfg, True)
-        alive1 = alive1 & ~index_drop
-        alive2 = alive2 & ~index_drop
+        alive1 = alive1 & ~index_drop & valid
+        alive2 = alive2 & ~index_drop & valid
         both = alive1 & alive2
 
         if cfg.polyg_enabled:

@@ -45,7 +45,7 @@ class _InterleavedPair:
 class PairEndProcessor(BaseProcessor):
     def __init__(self, opt: Options):
         super().__init__(opt)
-        self.step = build_pe_step(self.cfg)
+        self.step = self._wrap_step(build_pe_step(self.cfg))
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         self.pre_stats1 = Stats(opt, False, self.width)
         self.post_stats1 = Stats(opt, False, self.width * 2)
@@ -152,8 +152,11 @@ class PairEndProcessor(BaseProcessor):
                 if opt.duplicate.dedup:
                     dedup_out = dup
 
-            out = self.step(b1, q1, l1, b2, q2, l2,
-                            pre_trim1, pre_trim2, index_drop, dedup_out)
+            (b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp, dedp), valid = \
+                self._pad_batch([b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
+                                 index_drop, dedup_out], B)
+            out = self.step(b1p, q1p, l1p, b2p, q2p, l2p,
+                            pt1p, pt2p, idxp, dedp, valid)
             out = {k: (np.asarray(v) if not isinstance(v, dict)
                        else {kk: np.asarray(vv) for kk, vv in v.items()})
                    for k, v in out.items()}

@@ -84,6 +84,26 @@ class BaseProcessor:
         self.umi = UmiProcessor(opt)
         self.duplicate = Duplicate(opt) if opt.duplicate.enabled else None
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
+        import jax
+        from ..parallel.mesh import make_mesh, build_sharded_step
+        n_dev = opt.deviceCount or len(jax.devices())
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        self.n_dev = n_dev if self.mesh is not None else 1
+
+    def _wrap_step(self, step_fn):
+        if self.mesh is None:
+            return step_fn
+        from ..parallel.mesh import build_sharded_step
+        return build_sharded_step(step_fn, self.mesh, 0)
+
+    def _pad_batch(self, arrays, B):
+        """Pad batch-major arrays to a multiple of the device count and
+        build the valid mask."""
+        if self.mesh is None:
+            return arrays, np.ones(B, bool)
+        from ..parallel.mesh import pad_to_multiple
+        padded, valid, _ = pad_to_multiple(arrays, self.n_dev, B)
+        return padded, valid
 
     def _index_drop_mask(self, names1, names2=None) -> np.ndarray:
         n = len(names1)
@@ -106,7 +126,7 @@ class SingleEndProcessor(BaseProcessor):
 
     def __init__(self, opt: Options):
         super().__init__(opt)
-        self.step = build_se_step(self.cfg)
+        self.step = self._wrap_step(build_se_step(self.cfg))
         self.pre_stats = Stats(opt, False, self.width)
         self.post_stats = Stats(opt, False, self.width)
         self.filter_result = FilterResult(opt, False)
@@ -163,8 +183,11 @@ class SingleEndProcessor(BaseProcessor):
                 if opt.duplicate.dedup:
                     dedup_out = dup
 
-            out = self.step(bases, quals_arr, lengths,
-                            pre_trim, index_drop, dedup_out)
+            (bases_p, quals_p, lengths_p, pre_trim_p, index_drop_p,
+             dedup_p), valid = self._pad_batch(
+                [bases, quals_arr, lengths, pre_trim, index_drop, dedup_out], B)
+            out = self.step(bases_p, quals_p, lengths_p,
+                            pre_trim_p, index_drop_p, dedup_p, valid)
             out = {k: (np.asarray(v) if not isinstance(v, dict)
                        else {kk: np.asarray(vv) for kk, vv in v.items()})
                    for k, v in out.items()}
@@ -172,8 +195,8 @@ class SingleEndProcessor(BaseProcessor):
             self.pre_stats.add_batch(out["pre"])
             self.post_stats.add_batch(out["post"])
 
-            # filter result counting (exclude index-dropped)
-            res = out["result"][~index_drop]
+            # filter result counting (exclude index-dropped and pad rows)
+            res = out["result"][:B][~index_drop]
             self.filter_result.add_filter_result_array(res, 1)
             self.filter_result.add_polyx_trimmed(out["polyx_reads"], out["polyx_bases"])
 
