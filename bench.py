@@ -1,0 +1,92 @@
+"""Benchmark driver: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures end-to-end PE preprocessing throughput (reads/sec/chip) on a
+synthetic 150bp PE corpus with the full default pipeline plus correction and
+sliding-window cutting (BASELINE config 3 flavor), explicit adapters for
+both programs.  vs_baseline compares against reference fastp with 16 worker
+threads measured on this host (tools/bench_baseline.json caches the number
+if the reference binary is unavailable at bench time).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = "/tmp/fastp_bench"
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", "200000"))
+REF_BIN = "/tmp/refbuild/fastp"
+BASELINE_CACHE = os.path.join(ROOT, "tools", "bench_baseline.json")
+
+ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
+        "-I", os.path.join(BENCH_DIR, "R2.fq"),
+        "-o", "out1.fq", "-O", "out2.fq",
+        "--correction", "--cut_right",
+        "-a", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",
+        "--adapter_sequence_r2", "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"]
+
+
+def ensure_corpus():
+    r1 = os.path.join(BENCH_DIR, "R1.fq")
+    if os.path.exists(r1) and os.path.getsize(r1) > N_PAIRS * 30:
+        return
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_synth.py"),
+                    "--reads", str(N_PAIRS),
+                    "--out1", r1, "--out2", os.path.join(BENCH_DIR, "R2.fq")],
+                   check=True)
+
+
+def measure_reference() -> float:
+    """fastp -w 16 reads/sec on this host, cached."""
+    if os.path.exists(REF_BIN):
+        workdir = os.path.join(BENCH_DIR, "ref_run")
+        os.makedirs(workdir, exist_ok=True)
+        t0 = time.time()
+        subprocess.run([REF_BIN] + ARGS + ["-w", "16"], cwd=workdir,
+                       check=True, capture_output=True, timeout=3600)
+        dt = time.time() - t0
+        rps = 2 * N_PAIRS / dt
+        try:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"fastp_w16_reads_per_sec": rps, "pairs": N_PAIRS,
+                           "host_cores": os.cpu_count()}, f)
+        except OSError:
+            pass
+        return rps
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["fastp_w16_reads_per_sec"]
+    return 0.0
+
+
+def measure_ours() -> float:
+    workdir = os.path.join(BENCH_DIR, "tpu_run")
+    os.makedirs(workdir, exist_ok=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    subprocess.run([sys.executable, "-m", "fastp_tpu"] + ARGS +
+                   ["--batch_size", "16384"],
+                   cwd=workdir, env=env, check=True, capture_output=True,
+                   timeout=7200)
+    dt = time.time() - t0
+    return 2 * N_PAIRS / dt
+
+
+def main():
+    ensure_corpus()
+    baseline = measure_reference()
+    ours = measure_ours()
+    print(json.dumps({
+        "metric": "pe150_full_pipeline_reads_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(ours / baseline, 4) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

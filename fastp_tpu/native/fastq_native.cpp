@@ -1,0 +1,251 @@
+// Native host-side hot paths for fastp_tpu: FASTQ tokenization into padded
+// tensors, output serialization, and the sequential-adaptive known-adapter
+// scan.  Exposed via a C ABI consumed through ctypes (io/native.py).
+//
+// The tokenizer reproduces the reference reader's record semantics
+// (reference: src/fastqreader.cpp:219-347): lines end at \n, \r, or \r\n;
+// empty/non-'@' lines before a record name are skipped; a bad '+' line or a
+// seq/qual length mismatch stops the stream.
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <vector>
+#include <string>
+#include <algorithm>
+
+extern "C" {
+
+// Parse records from buf[0:len). Only complete records are consumed unless
+// is_final != 0 (then a trailing record without a final newline is accepted).
+// Returns number of records parsed. *consumed is the byte offset after the
+// last parsed record, *stopped is set to 1 when malformed input ended the
+// stream (reference behavior: treat as EOF).
+int64_t fq_tokenize(const uint8_t* buf, int64_t len, int is_final,
+                    int64_t max_records, int64_t width, int phred64,
+                    uint8_t* bases, uint8_t* quals, int32_t* lengths,
+                    int64_t* name_off, int32_t* name_len,
+                    int64_t* strand_off, int32_t* strand_len,
+                    int64_t* consumed, int32_t* stopped, int32_t* need_wider) {
+    int64_t pos = 0;
+    int64_t n = 0;
+    *stopped = 0;
+    *need_wider = 0;
+    *consumed = 0;
+
+    auto next_line = [&](int64_t& start, int64_t& llen) -> bool {
+        // returns false if no complete line available
+        if (pos >= len) return false;
+        start = pos;
+        int64_t p = pos;
+        while (p < len && buf[p] != '\n' && buf[p] != '\r') p++;
+        if (p >= len && !is_final) return false;
+        llen = p - start;
+        // skip the terminator (handle \r\n)
+        if (p < len) {
+            if (buf[p] == '\r' && p + 1 < len && buf[p + 1] == '\n') p += 2;
+            else p += 1;
+        }
+        pos = p;
+        return true;
+    };
+
+    while (n < max_records) {
+        int64_t save = pos;
+        int64_t nstart, nlen;
+        // skip empty / non-@ lines before the name
+        bool have = false;
+        while (true) {
+            if (!next_line(nstart, nlen)) { pos = save; goto done; }
+            if (nlen > 0 && buf[nstart] == '@') { have = true; break; }
+            save = pos;  // consumed garbage lines stay consumed
+        }
+        if (!have) { pos = save; goto done; }
+        int64_t sstart, slen, tstart, tlen, qstart, qlen;
+        if (!next_line(sstart, slen)) { pos = save; goto done; }
+        if (!next_line(tstart, tlen)) { pos = save; goto done; }
+        if (!next_line(qstart, qlen)) { pos = save; goto done; }
+        if (tlen == 0 || buf[tstart] != '+') {
+            fprintf(stderr, "%.*s\nExpected '+', got %.*s\n"
+                    "Your FASTQ may be invalid, please check the tail of your FASTQ file\n",
+                    (int)nlen, buf + nstart, (int)tlen, buf + tstart);
+            *stopped = 1;
+            pos = save;
+            goto done;
+        }
+        if (qlen != slen) {
+            fprintf(stderr, "ERROR: sequence and quality have different length:\n"
+                    "%.*s\n%.*s\n%.*s\n%.*s\n"
+                    "Your FASTQ may be invalid, please check the tail of your FASTQ file\n",
+                    (int)nlen, buf + nstart, (int)slen, buf + sstart,
+                    (int)tlen, buf + tstart, (int)qlen, buf + qstart);
+            *stopped = 1;
+            pos = save;
+            goto done;
+        }
+        if (slen > width) {
+            *need_wider = (int32_t)slen;
+            pos = save;
+            goto done;
+        }
+        uint8_t* brow = bases + n * width;
+        uint8_t* qrow = quals + n * width;
+        memcpy(brow, buf + sstart, slen);
+        memset(brow + slen, 0, width - slen);
+        if (phred64) {
+            for (int64_t i = 0; i < qlen; i++) {
+                int q = (int)buf[qstart + i] - 31;
+                qrow[i] = (uint8_t)(q < 33 ? 33 : q);
+            }
+        } else {
+            memcpy(qrow, buf + qstart, qlen);
+        }
+        memset(qrow + qlen, 0, width - qlen);
+        lengths[n] = (int32_t)slen;
+        name_off[n] = nstart;
+        name_len[n] = (int32_t)nlen;
+        strand_off[n] = tstart;
+        strand_len[n] = (int32_t)tlen;
+        n++;
+        *consumed = pos;
+    }
+done:
+    return n;
+}
+
+// Serialize selected reads as FASTQ text.
+//   namebuf: chunk text holding names/strands (offsets from fq_tokenize),
+//            or NULL when names are provided via nameblob/name_off2.
+//   seqsrc/qualsrc: [B, width] windowed content arrays
+//   start/rlen: per-read window into the row
+//   emit: per-read 0/1
+// Returns bytes written (caller sizes `out` generously:
+//   sum(name_len) + 2*width*B + 6*B upper bound).
+int64_t fq_serialize(const uint8_t* namebuf,
+                     const int64_t* name_off, const int32_t* name_len,
+                     const uint8_t* strandbuf,
+                     const int64_t* strand_off, const int32_t* strand_len,
+                     const uint8_t* seqsrc, const uint8_t* qualsrc,
+                     const int32_t* start, const int32_t* rlen,
+                     const uint8_t* emit, int64_t n, int64_t width,
+                     uint8_t* out) {
+    uint8_t* o = out;
+    for (int64_t i = 0; i < n; i++) {
+        if (!emit[i]) continue;
+        memcpy(o, namebuf + name_off[i], name_len[i]);
+        o += name_len[i];
+        *o++ = '\n';
+        int32_t s = start[i], l = rlen[i];
+        memcpy(o, seqsrc + i * width + s, l);
+        o += l;
+        *o++ = '\n';
+        memcpy(o, strandbuf + strand_off[i], strand_len[i]);
+        o += strand_len[i];
+        *o++ = '\n';
+        memcpy(o, qualsrc + i * width + s, l);
+        o += l;
+        *o++ = '\n';
+    }
+    return o - out;
+}
+
+// Known-adapter scan (reference: src/evaluator.cpp:207-293).
+// adapters: concatenated adapter bytes; aoff/alen arrays of n_ad entries
+// (lexicographically sorted, matching std::map iteration).
+// Returns the winning adapter index or -1.
+int32_t known_adapter_scan(const uint8_t* bases, const int32_t* lengths,
+                           int64_t n_reads, int64_t width,
+                           const uint8_t* adapters, const int64_t* aoff,
+                           const int32_t* alen, int32_t n_ad,
+                           int64_t* out_counts, int64_t* out_mismatches,
+                           int64_t* out_checked_reads) {
+    const int64_t MAX_CHECK_READS = 100000;
+    const int64_t MAX_CHECK_BASES = MAX_CHECK_READS * 1000;
+    const int64_t MAX_HIT = 1000;
+    const int matchReq = 8;
+    const int allowOneMismatchForEach = 16;
+
+    std::vector<int64_t> counts(n_ad, 0), mism(n_ad, 0);
+    int64_t checkedReads = 0, checkedBases = 0, curMax = 0;
+
+    for (int64_t r = 0; r < n_reads; r++) {
+        const uint8_t* rdata = bases + r * width;
+        int rl = lengths[r];
+        checkedReads++;
+        checkedBases += rl;
+        if (checkedReads > MAX_CHECK_READS || checkedBases > MAX_CHECK_BASES) break;
+        if (curMax > MAX_HIT) break;
+        for (int32_t ai = 0; ai < n_ad; ai++) {
+            int al = alen[ai];
+            if (al >= rl) continue;
+            if (curMax > 20 && counts[ai] < curMax / 10) continue;
+            const uint8_t* adata = adapters + aoff[ai];
+            for (int p = 0; p < rl - matchReq; p++) {
+                int cmplen = std::min(rl - p, al);
+                int allowed = cmplen / allowOneMismatchForEach;
+                int mm = 0;
+                bool matched = true;
+                for (int i = 0; i < cmplen; i++) {
+                    if (adata[i] != rdata[i + p]) {
+                        if (++mm > allowed) { matched = false; break; }
+                    }
+                }
+                if (matched) {
+                    counts[ai]++;
+                    if (curMax < counts[ai]) curMax = counts[ai];
+                    mism[ai] += mm;
+                    break;
+                }
+            }
+        }
+    }
+
+    for (int32_t ai = 0; ai < n_ad; ai++) {
+        out_counts[ai] = counts[ai];
+        out_mismatches[ai] = mism[ai];
+    }
+    *out_checked_reads = checkedReads;
+
+    int32_t best = -1;
+    int64_t maxCount = 0;
+    for (int32_t ai = 0; ai < n_ad; ai++) {
+        if (counts[ai] > maxCount) { best = ai; maxCount = counts[ai]; }
+    }
+    return best;
+}
+
+// 10-mer seed histogram (reference: src/evaluator.cpp:367-381): counts over
+// positions 20..len-keylen-shiftTail with rolling 2-bit keys (N resets).
+void seed_histogram(const uint8_t* bases, const int32_t* lengths,
+                    int64_t n_reads, int64_t width, int shift_tail,
+                    uint32_t* counts /* size 4^10 */) {
+    static int8_t b2v[256];
+    static bool init = false;
+    if (!init) {
+        memset(b2v, -1, sizeof(b2v));
+        b2v[(int)'A'] = 0; b2v[(int)'T'] = 1; b2v[(int)'C'] = 2; b2v[(int)'G'] = 3;
+        init = true;
+    }
+    const int keylen = 10;
+    const int mask = (1 << (keylen * 2)) - 1;
+    for (int64_t r = 0; r < n_reads; r++) {
+        const uint8_t* s = bases + r * width;
+        int rl = lengths[r];
+        int key = -1;
+        for (int p = 20; p <= rl - keylen - shift_tail; p++) {
+            if (key >= 0) {
+                int v = b2v[s[p + keylen - 1]];
+                key = (v < 0) ? -1 : (((key << 2) & mask) + v);
+            } else {
+                key = 0;
+                for (int i = p; i < p + keylen; i++) {
+                    int v = b2v[s[i]];
+                    if (v < 0) { key = -1; break; }
+                    key = (key << 2) + v;
+                }
+            }
+            if (key >= 0) counts[key]++;
+        }
+    }
+}
+
+}  // extern "C"

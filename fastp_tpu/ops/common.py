@@ -26,16 +26,59 @@ def valid_mask(lengths, L):
     return pos_iota(B, L) < lengths[:, None]
 
 
-def roll_front(arr, front):
-    """Shift each row left by `front[b]`, filling with 0.
+def _shift_left(arr, k: int):
+    """Static left shift along lanes with zero fill (slice + pad: no gather)."""
+    B, L = arr.shape
+    if k <= 0:
+        return arr
+    if k >= L:
+        return jnp.zeros_like(arr)
+    return jnp.concatenate([arr[:, k:], jnp.zeros((B, k), arr.dtype)], axis=1)
 
-    arr: uint8[B, L]; front: int32[B]. Equivalent to erase(0, front).
+
+def _shift_right(arr, k: int):
+    B, L = arr.shape
+    if k <= 0:
+        return arr
+    if k >= L:
+        return jnp.zeros_like(arr)
+    return jnp.concatenate([jnp.zeros((B, k), arr.dtype), arr[:, :L - k]], axis=1)
+
+
+def roll_front(arr, front):
+    """Shift each row left by `front[b]`, filling with 0 (erase(0, front)).
+
+    TPU-native: per-row variable shifts decomposed into log2(L) static
+    lane shifts selected by the shift's bits -- no per-lane gathers.
     """
     B, L = arr.shape
-    idx = pos_iota(B, L) + front[:, None]
-    safe = jnp.minimum(idx, L - 1)
-    out = jnp.take_along_axis(arr, safe, axis=1)
-    return jnp.where(idx < L, out, 0).astype(arr.dtype)
+    f = jnp.clip(front.astype(jnp.int32), 0, L)
+    out = arr
+    k = 1
+    bit = 0
+    while k < L + 1:
+        shifted = _shift_left(out, k)
+        take = ((f >> bit) & 1) == 1
+        out = jnp.where(take[:, None], shifted, out)
+        k <<= 1
+        bit += 1
+    return out
+
+
+def roll_back(arr, shift):
+    """Shift each row right by `shift[b]` >= 0, filling with 0."""
+    B, L = arr.shape
+    f = jnp.clip(shift.astype(jnp.int32), 0, L)
+    out = arr
+    k = 1
+    bit = 0
+    while k < L + 1:
+        shifted = _shift_right(out, k)
+        take = ((f >> bit) & 1) == 1
+        out = jnp.where(take[:, None], shifted, out)
+        k <<= 1
+        bit += 1
+    return out
 
 
 def complement(bases):
@@ -54,12 +97,12 @@ def complement(bases):
 
 
 def reverse_rows(arr, lengths):
-    """Reverse each row's first `lengths[b]` elements; pad stays 0."""
+    """Reverse each row's first `lengths[b]` elements; pad stays 0.
+
+    flip (free lane reversal) + variable left-roll by L - len.
+    """
     B, L = arr.shape
-    idx = lengths[:, None] - 1 - pos_iota(B, L)
-    safe = jnp.clip(idx, 0, L - 1)
-    out = jnp.take_along_axis(arr, safe, axis=1)
-    return jnp.where(idx >= 0, out, 0).astype(arr.dtype)
+    return roll_front(arr[:, ::-1], L - lengths.astype(jnp.int32))
 
 
 def rc(bases, lengths):

@@ -11,10 +11,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .common import pos_iota, complement
+from .common import pos_iota, complement, roll_front
 
 GOOD_QUAL = 30 + 33  # num2qual(30) = '?'
 BAD_QUAL = 14 + 33   # num2qual(14) = '/'
+
+
+def _reverse_at(arr, c):
+    """out[:, j] = arr[:, c-j] (0 where out of range): flip + variable roll.
+
+    flip(arr)[j] = arr[L-1-j]; shifting by (L-1-c) gives arr[c-j].  c may
+    exceed L-1 (large positive offsets), so both directions are applied."""
+    from .common import roll_back
+    L = arr.shape[1]
+    shift = (L - 1) - c
+    flipped = arr[:, ::-1]
+    out = roll_front(flipped, jnp.maximum(shift, 0))
+    return roll_back(out, jnp.maximum(-shift, 0))
 
 
 def correct_by_overlap(seq1, qual1, len1, seq2, qual2, len2,
@@ -35,9 +48,9 @@ def correct_by_overlap(seq1, qual1, len1, seq2, qual2, len2,
     # --- r1-side view: row position j = p1; i = j - start1; p2 = start1+start2-j
     i1 = j - start1[:, None]
     in_ov1 = (i1 >= 0) & (i1 < ol[:, None]) & do[:, None]
-    p2_for_1 = jnp.clip(start1[:, None] + start2[:, None] - j, 0, L - 1)
-    s2g = jnp.take_along_axis(seq2, p2_for_1, axis=1)
-    q2g = jnp.take_along_axis(qual2, p2_for_1, axis=1)
+    c12 = start1 + start2
+    s2g = _reverse_at(seq2, c12)
+    q2g = _reverse_at(qual2, c12)
     mismatch1 = in_ov1 & (seq1 != complement(s2g))
     use_r1 = mismatch1 & (qual1 >= GOOD_QUAL) & (q2g <= BAD_QUAL)   # overwrite r2
     use_r2 = mismatch1 & ~use_r1 & (q2g >= GOOD_QUAL) & (qual1 <= BAD_QUAL)  # overwrite r1
@@ -46,11 +59,10 @@ def correct_by_overlap(seq1, qual1, len1, seq2, qual2, len2,
     new_qual1 = jnp.where(use_r2, q2g, qual1)
 
     # --- r2-side view: row position k = p2; i = start2 - k; p1 = start1+start2-k
-    p1_for_2 = jnp.clip(start1[:, None] + start2[:, None] - j, 0, L - 1)
     i2 = start2[:, None] - j
     in_ov2 = (i2 >= 0) & (i2 < ol[:, None]) & do[:, None]
-    s1g = jnp.take_along_axis(seq1, p1_for_2, axis=1)
-    q1g = jnp.take_along_axis(qual1, p1_for_2, axis=1)
+    s1g = _reverse_at(seq1, c12)
+    q1g = _reverse_at(qual1, c12)
     mismatch2 = in_ov2 & (s1g != complement(seq2))
     use_r1_2 = mismatch2 & (q1g >= GOOD_QUAL) & (qual2 <= BAD_QUAL)  # overwrite r2 here
 
@@ -70,4 +82,32 @@ def correct_by_overlap(seq1, qual1, len1, seq2, qual2, len2,
     r2_corrected = jnp.any(use_r1, axis=1)
     r1_corrected = jnp.any(use_r2, axis=1)
     return (new_seq1, new_qual1, new_seq2, new_qual2, corr_matrix,
-            corrected, r1_corrected, r2_corrected)
+            corrected, r1_corrected, r2_corrected,
+            {"mask1": use_r2, "mask2": use_r1_2})
+
+
+def extract_deltas(mask, seq_new, qual_new, K: int):
+    """Extract up to K (position, base, qual) correction deltas per read.
+
+    Device->host transfer shrinks from O(B*L) content arrays to O(B*K)
+    bytes; rows with more than K corrections overflow (host falls back to
+    an exact recomputation for those rare rows).
+    Returns (pos[B,K] int32 with L as sentinel, base[B,K] u8, qual[B,K] u8,
+             count[B] int32).
+    """
+    B, L = mask.shape
+    jpos = pos_iota(B, L)
+    count = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    m = mask
+    poss, bass, quls = [], [], []
+    for _ in range(K):
+        any_ = jnp.any(m, axis=1)
+        idx = jnp.argmax(m, axis=1).astype(jnp.int32)
+        idx = jnp.where(any_, idx, L)
+        safe = jnp.clip(idx, 0, L - 1)[:, None]
+        poss.append(idx)
+        bass.append(jnp.take_along_axis(seq_new, safe, axis=1)[:, 0])
+        quls.append(jnp.take_along_axis(qual_new, safe, axis=1)[:, 0])
+        m = m & (jpos != idx[:, None])
+    return (jnp.stack(poss, axis=1), jnp.stack(bass, axis=1),
+            jnp.stack(quls, axis=1), count)

@@ -26,18 +26,18 @@ def merge_pairs(seq1, qual1, len1, seq2, qual2, len2,
     rq2 = reverse_rows(qual2, len2)
 
     j = pos_iota(B, out_width)
-    # part 1: j < len1_m -> r1[j]; part 2: rc2[ol + (j - len1_m)]
-    if out_width > L:
-        padw = out_width - L
-        seq1p = jnp.concatenate([seq1, jnp.zeros((B, padw), seq1.dtype)], axis=1)
-        qual1p = jnp.concatenate([qual1, jnp.zeros((B, padw), qual1.dtype)], axis=1)
-    else:
-        seq1p, qual1p = seq1, qual1
-    take1_s = jnp.take_along_axis(seq1p, j, axis=1)
-    take1_q = jnp.take_along_axis(qual1p, j, axis=1)
-    src2_idx = jnp.clip(ol[:, None] + (j - len1_m[:, None]), 0, L - 1)
-    take2_s = jnp.take_along_axis(rc2, src2_idx, axis=1)
-    take2_q = jnp.take_along_axis(rq2, src2_idx, axis=1)
+    # part 1: j < len1_m -> r1[j]; part 2: rc2[ol + (j - len1_m)] = rc2[j - max(0, off)]
+    def pad_to(a):
+        if out_width > L:
+            return jnp.concatenate([a, jnp.zeros((B, out_width - L), a.dtype)], axis=1)
+        return a[:, :out_width]
+
+    take1_s = pad_to(seq1)
+    take1_q = pad_to(qual1)
+    s = jnp.maximum(0, ov_offset)
+    from .common import roll_back
+    take2_s = roll_back(pad_to(rc2), s)
+    take2_q = roll_back(pad_to(rq2), s)
 
     in1 = j < len1_m[:, None]
     in2 = (j >= len1_m[:, None]) & (j < m_len[:, None])

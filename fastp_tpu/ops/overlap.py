@@ -1,14 +1,18 @@
 """PE overlap analysis (reference: src/overlapanalysis.cpp:16-183).
 
 The reference scans offsets sequentially per pair and accepts the first
-offset whose Hamming-distance test passes, with an early-break quirk:
-inside an offset the loop breaks at the first mismatch index i < 50 where
-the running diff exceeds the limit; if the (limit+1)-th mismatch occurs at
-i >= 50 the scan completes and the offset is accepted when i(=overlap_len)
-exceeds 50.  Vectorized here as a lax.fori_loop over offsets carrying
-"first acceptance wins" state for a whole batch.
+offset whose Hamming-distance test passes, with an early-break quirk (break
+at the first mismatch index i < 50 where the running diff exceeds the
+limit; a full scan that exceeded the limit late still accepts when
+i(=overlap_len) > 50).
 
-merge() reproduces OverlapAnalysis::merge including the name tag.
+Acceptance is equivalent to (proof in tests/test_overlap_equiv.py):
+    accept  <=>  prefix50 <= limit  AND  (total <= limit  OR  olen > 50)
+where prefix50 = mismatches among the first min(50, olen) overlap positions
+and total = mismatches over the whole overlap (the reported diff).  Both
+are plain masked sums, so each offset needs only a static-shift compare +
+two reductions -- no gathers, cumsums, or argmax on the hot path.  The
+offset scan is a lax.fori_loop with first-accept-wins carries.
 """
 from __future__ import annotations
 
@@ -20,28 +24,6 @@ import jax.numpy as jnp
 from .common import pos_iota, rc
 
 COMPLETE_COMPARE_REQUIRE = 50
-
-
-def _accept_at_offset(mm, olens, diff_limit: int, diff_pct: float):
-    """Given mismatch mask mm[B, L] (i-th overlap position) and per-read
-    overlap lengths, evaluate the reference acceptance rule at one offset.
-
-    Returns (accept[B], diff[B]).
-    """
-    B, L = mm.shape
-    i = pos_iota(B, L)
-    in_ov = i < olens[:, None]
-    mmv = mm & in_ov
-    limit = jnp.minimum(diff_limit, (olens.astype(jnp.float32) * diff_pct).astype(jnp.int32))
-    cum = jnp.cumsum(mmv.astype(jnp.int32), axis=1)
-    total = cum[:, -1] if L > 0 else jnp.zeros((B,), jnp.int32)
-    # first position where running diff exceeds limit (at a mismatch)
-    exceed = mmv & (cum > limit[:, None])
-    any_exceed = jnp.any(exceed, axis=1)
-    first_exceed = jnp.argmax(exceed, axis=1).astype(jnp.int32)
-    ok_small = total <= limit
-    ok_late = any_exceed & (first_exceed >= COMPLETE_COMPARE_REQUIRE)
-    return ok_small | ok_late, total
 
 
 @partial(jax.jit, static_argnames=("diff_limit", "overlap_require", "diff_pct", "allow_gap"))
@@ -57,7 +39,27 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
     len1 = len1.astype(jnp.int32)
     len2 = len2.astype(jnp.int32)
     rc2 = rc(seq2, len2)
-    pos = pos_iota(B, L)
+    i_pos = pos_iota(B, L)
+
+    # pad seq1/rc2 so shifted static slices are safe
+    z = jnp.zeros((B, L), seq1.dtype)
+    seq1p = jnp.concatenate([seq1, z], axis=1)  # [B, 2L]
+    rc2p = jnp.concatenate([rc2, z], axis=1)
+
+    def eval_offset(shifted_a, base_b, olen):
+        """accept/diff at one offset given aligned rows.
+
+        shifted_a[i] vs base_b[i] for i < olen."""
+        limit = jnp.minimum(diff_limit,
+                            (olen.astype(jnp.float32) * diff_pct).astype(jnp.int32))
+        in_ov = i_pos < olen[:, None]
+        mm = (shifted_a != base_b) & in_ov
+        total = jnp.sum(mm, axis=1, dtype=jnp.int32)
+        pre50 = jnp.sum(mm & (i_pos < COMPLETE_COMPARE_REQUIRE), axis=1,
+                        dtype=jnp.int32)
+        accept = (pre50 <= limit) & ((total <= limit) |
+                                     (olen > COMPLETE_COMPARE_REQUIRE))
+        return accept, total
 
     init = (jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
@@ -66,38 +68,31 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
         found, f_off, f_ol, f_diff = state
         active = off < len1 - overlap_require
         olen = jnp.minimum(len1 - off, len2)
-        # str1[off + i] vs str2[i]
-        idx = jnp.minimum(pos + off, L - 1)
-        s1 = jnp.take_along_axis(seq1, idx, axis=1)
-        mm = s1 != rc2
-        acc, diff = _accept_at_offset(mm, olen, diff_limit, diff_pct)
+        s1 = jax.lax.dynamic_slice_in_dim(seq1p, off, L, axis=1)
+        acc, diff = eval_offset(s1, rc2, olen)
         new = acc & active & ~found
         return (found | new,
                 jnp.where(new, off, f_off),
                 jnp.where(new, olen, f_ol),
                 jnp.where(new, diff, f_diff))
 
-    state = jax.lax.fori_loop(0, L - overlap_require if L > overlap_require else 0,
-                              fwd_body, init)
+    n_off = L - overlap_require if L > overlap_require else 0
+    state = jax.lax.fori_loop(0, n_off, fwd_body, init)
 
     def bwd_body(k, state):
-        # offset = -k, k starts at 0 (reference re-tests offset 0 backwards)
+        # offset = -k, k starts at 0 (the reference re-tests offset 0)
         found, f_off, f_ol, f_diff = state
         active = k < len2 - overlap_require
         olen = jnp.minimum(len1, len2 - k)
-        # str1[i] vs str2[k + i]
-        idx = jnp.minimum(pos + k, L - 1)
-        s2 = jnp.take_along_axis(rc2, idx, axis=1)
-        mm = seq1 != s2
-        acc, diff = _accept_at_offset(mm, olen, diff_limit, diff_pct)
+        s2 = jax.lax.dynamic_slice_in_dim(rc2p, k, L, axis=1)
+        acc, diff = eval_offset(s2, seq1, olen)
         new = acc & active & ~found
         return (found | new,
                 jnp.where(new, -k, f_off),
                 jnp.where(new, olen, f_ol),
                 jnp.where(new, diff, f_diff))
 
-    state = jax.lax.fori_loop(0, L - overlap_require if L > overlap_require else 0,
-                              bwd_body, state)
+    state = jax.lax.fori_loop(0, n_off, bwd_body, state)
     found, off, ol, diff = state
     has_gap = jnp.zeros((B,), bool)
 
@@ -107,23 +102,23 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
 
             ins/norm: uint8[B, L] (ins compared at i, i+1; norm at i).
             cmplen/limit: int32[B]. Returns diff[B] (-1 = over limit)."""
-            i = pos
+            i = i_pos
             ins_sh = jnp.concatenate([ins[:, 1:], jnp.zeros((B, 1), ins.dtype)], axis=1)
             acc_l = jnp.cumsum(((ins != norm) & (i < cmplen[:, None])).astype(jnp.int32), axis=1)
-            # accRight[i] = mismatches of ins[i+1..cmplen] vs norm[i..cmplen-1]
             mm_r = ((ins_sh != norm) & (i < cmplen[:, None])).astype(jnp.int32)
-            suf = jnp.cumsum(mm_r[:, ::-1], axis=1)[:, ::-1]  # suffix sums from i
-            # valid insertion points i in [1, cmplen); diff = accL[i-1] + accR[i]
+            suf = jnp.cumsum(mm_r[:, ::-1], axis=1)[:, ::-1]
             accl_prev = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), acc_l[:, :-1]], axis=1)
             cand = accl_prev + suf
             valid = (i >= 1) & (i < cmplen[:, None])
             min_diff = jnp.min(jnp.where(valid, cand, 10 ** 8), axis=1)
-            # accLeft[cmplen-2] + accRight[cmplen-1] > limit -> -1
-            idx2 = jnp.clip(cmplen - 2, 0, L - 1)[:, None]
-            last_l = jnp.take_along_axis(acc_l, idx2, axis=1)[:, 0]
-            idxr = jnp.clip(cmplen - 1, 0, L - 1)[:, None]
-            last_r = jnp.take_along_axis(suf, idxr, axis=1)[:, 0]
-            over = (last_l + last_r) > limit
+            total_l = acc_l[:, -1]  # = accLeft[cmplen-1]; accLeft[cmplen-2] needed
+            # accLeft[cmplen-2]: subtract the last in-range term
+            last_idx = jnp.clip(cmplen - 1, 0, L - 1)
+            last_mm = jnp.sum(((ins != norm) & (i == last_idx[:, None])).astype(jnp.int32), axis=1)
+            accl_cm2 = total_l - last_mm
+            # accRight[cmplen-1] = mm_r at i = cmplen-1
+            accr_last = jnp.sum((mm_r > 0) & (i == last_idx[:, None]), axis=1).astype(jnp.int32)
+            over = (accl_cm2 + accr_last) > limit
             has_cand = jnp.any(valid, axis=1)
             return jnp.where(over | ~has_cand, -1, min_diff)
 
@@ -133,19 +128,15 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
             olen = jnp.minimum(len1 - off, len2)
             limit = jnp.minimum(diff_limit,
                                 (olen.astype(jnp.float32) * diff_pct).astype(jnp.int32))
-            idx = jnp.minimum(pos + off, L - 1)
-            s1 = jnp.take_along_axis(seq1, idx, axis=1)
-            s1_sh = jnp.concatenate([s1[:, 1:], jnp.zeros((B, 1), s1.dtype)], axis=1)
+            s1 = jax.lax.dynamic_slice_in_dim(seq1p, off, L, axis=1)
             cl = olen - 1
-            # diffWithOneInsertion(str1+offset, str2, olen-1, limit)
             d1 = gap_diff(s1, rc2, cl, limit)
-            # fallback: diffWithOneInsertion(str2, str1+offset, ...)
             d2 = gap_diff(rc2, s1, cl, limit)
-            diff = jnp.where((d1 < 0) | (d1 > limit), d2, d1)
-            acc = (diff <= limit) & (diff >= 0)
+            dd = jnp.where((d1 < 0) | (d1 > limit), d2, d1)
+            acc = (dd <= limit) & (dd >= 0)
             new = acc & active & ~found
             return (found | new, jnp.where(new, off, f_off),
-                    jnp.where(new, olen, f_ol), jnp.where(new, diff, f_diff),
+                    jnp.where(new, olen, f_ol), jnp.where(new, dd, f_diff),
                     jnp.where(new, True, f_gap))
 
         def gap_bwd_body(k, state):
@@ -154,23 +145,20 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
             olen = jnp.minimum(len1, len2 - k)
             limit = jnp.minimum(diff_limit,
                                 (olen.astype(jnp.float32) * diff_pct).astype(jnp.int32))
-            idx = jnp.minimum(pos + k, L - 1)
-            s2 = jnp.take_along_axis(rc2, idx, axis=1)
+            s2 = jax.lax.dynamic_slice_in_dim(rc2p, k, L, axis=1)
             cl = olen - 1
             d1 = gap_diff(seq1, s2, cl, limit)
             d2 = gap_diff(s2, seq1, cl, limit)
-            diff = jnp.where((d1 < 0) | (d1 > limit), d2, d1)
-            acc = (diff <= limit) & (diff >= 0)
+            dd = jnp.where((d1 < 0) | (d1 > limit), d2, d1)
+            acc = (dd <= limit) & (dd >= 0)
             new = acc & active & ~found
             return (found | new, jnp.where(new, -k, f_off),
-                    jnp.where(new, olen, f_ol), jnp.where(new, diff, f_diff),
+                    jnp.where(new, olen, f_ol), jnp.where(new, dd, f_diff),
                     jnp.where(new, True, f_gap))
 
         gstate = (found, off, ol, diff, has_gap)
-        gstate = jax.lax.fori_loop(0, L - overlap_require if L > overlap_require else 0,
-                                   gap_fwd_body, gstate)
-        gstate = jax.lax.fori_loop(0, L - overlap_require if L > overlap_require else 0,
-                                   gap_bwd_body, gstate)
+        gstate = jax.lax.fori_loop(0, n_off, gap_fwd_body, gstate)
+        gstate = jax.lax.fori_loop(0, n_off, gap_bwd_body, gstate)
         found, off, ol, diff, has_gap = gstate
 
     return {

@@ -24,15 +24,18 @@ def _window_sums(quals_i32, w: int):
 
     quals beyond the read length are 0, which matches the reference only when
     indices stay within [front, l-tail-w]; callers mask the valid s range.
+    Gather-free: cumsum + static slices (edge-padded).
     """
     B, L = quals_i32.shape
     c = jnp.cumsum(quals_i32, axis=1)
     c = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), c], axis=1)  # [B, L+1]
-    # sums[s] = c[s+w] - c[s]; for s+w > L treat as c[L] - c[s]
-    end_idx = jnp.minimum(pos_iota(B, L) + w, L)
-    start = jnp.take_along_axis(c, pos_iota(B, L + 1)[:, :L], axis=1)
-    end = jnp.take_along_axis(c, end_idx, axis=1)
-    return end - start  # [B, L]
+    # sums[s] = c[min(s+w, L)] - c[s]
+    total = c[:, L:L + 1]
+    if w <= L:
+        end = jnp.concatenate([c[:, w:], jnp.broadcast_to(total, (B, w - 1))], axis=1)
+    else:
+        end = jnp.broadcast_to(total, (B, L))
+    return end - c[:, :L]  # [B, L]
 
 
 def trim_and_cut(bases, quals, lengths, front_arg: int, tail_arg: int, cfg):
@@ -109,10 +112,16 @@ def trim_and_cut(bases, quals, lengths, front_arg: int, tail_arg: int, cfg):
         t_end = (front + w)[:, None]  # inclusive lower bound of loop body
         win_start = pos - w + 1  # start index of window ending at t=pos
         win_ok = (pos <= t_start) & (pos >= t_end) & (win_start >= 0)
-        good = jnp.zeros((B, L), bool)
-        good = jnp.where(win_ok,
-                         jnp.take_along_axis(sums, jnp.clip(win_start, 0, L - 1), axis=1) >= thresh,
-                         False)
+        # sums_at_win_start[j] = sums[j - (w-1)]: static right shift
+        if w - 1 > 0:
+            if w - 1 >= L:
+                sums_sh = jnp.zeros_like(sums)
+            else:
+                sums_sh = jnp.concatenate(
+                    [jnp.zeros((B, w - 1), jnp.int32), sums[:, :L - (w - 1)]], axis=1)
+        else:
+            sums_sh = sums
+        good = jnp.where(win_ok, sums_sh >= thresh, False)
         # first t scanning DOWN from l-tail-1 = LAST t in ascending order... no:
         # the loop goes t descending and breaks at the first (largest) good t.
         found_t = jnp.any(good, axis=1)

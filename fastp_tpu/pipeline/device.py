@@ -203,12 +203,17 @@ def build_pe_step(cfg: DeviceCfg):
         isize_hist = jnp.zeros((cfg.insert_size_max + 1,), jnp.int32).at[
             jnp.where(both, isize, cfg.insert_size_max)].add(both.astype(jnp.int32))
 
+        CORR_K = 16
         if cfg.correction_enabled:
             do = ov_ok & ~ov["has_gap"]
-            (w1, wq1, w2, wq2, corr_matrix, corrected, r1c, r2c) = \
+            (w1, wq1, w2, wq2, corr_matrix, corrected, r1c, r2c, masks) = \
                 correct_ops.correct_by_overlap(
                     w1, wq1, rlen1, w2, wq2, rlen2,
                     do, ov["offset"], ov["overlap_len"], ov["diff"])
+            (out["c1_pos"], out["c1_base"], out["c1_qual"], out["c1_n"]) = \
+                correct_ops.extract_deltas(masks["mask1"], w1, wq1, CORR_K)
+            (out["c2_pos"], out["c2_base"], out["c2_qual"], out["c2_n"]) = \
+                correct_ops.extract_deltas(masks["mask2"], w2, wq2, CORR_K)
 
         if cfg.adapter_enabled:
             nl1, nl2, ov_trimmed = adapter_ops.trim_by_overlap(
@@ -244,13 +249,13 @@ def build_pe_step(cfg: DeviceCfg):
             m_result = filter_ops.pass_filter(m_seq, m_qual, m_len, ovm_ok, fview)
             m_emit = ovm_ok & (m_result == PASS_FILTER)
             out["merged_ok"] = ovm_ok
-            out["m_seq"] = m_seq
-            out["m_qual"] = m_qual
             out["m_len"] = m_len
             out["m_len1"] = m_len1
             out["m_len2"] = m_len2
             out["m_result"] = m_result
             out["m_emit"] = m_emit
+            out["ovm_offset"] = ovm["offset"]
+            out["ovm_olen"] = ovm["overlap_len"]
             out["post_merged"] = stats_ops.stat_batch(m_seq, m_qual, m_len, m_emit)
 
         result1 = filter_ops.pass_filter(w1, wq1, rlen1, alive1, fview)
@@ -263,7 +268,8 @@ def build_pe_step(cfg: DeviceCfg):
 
         out.update({
             "pre1": pre1, "pre2": pre2, "post1": post1, "post2": post2,
-            "w1": w1, "wq1": wq1, "w2": w2, "wq2": wq2,
+            "ov_offset": ov["offset"], "ov_olen": ov["overlap_len"],
+            "ov_ok": ov_ok, "ov_hasgap": ov["has_gap"],
             "total_front1": tf1, "total_front2": tf2,
             "rlen1": rlen1, "rlen2": rlen2,
             "result1": result1, "result2": result2,

@@ -1,0 +1,154 @@
+"""Host-side reconstruction of device-windowed read content.
+
+The device step returns only scalars and sparse correction deltas; the host
+reconstructs any needed window bytes from the original record bytes plus
+(total_front, deltas).  Rows whose corrections overflow the delta slots are
+recomputed exactly with a Python port of the base corrector
+(reference: src/basecorrector.cpp:16-83).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+GOOD_QUAL = 63  # '?'
+BAD_QUAL = 47   # '/'
+
+# full 256-entry complement table: ACGT/acgt complemented, everything else 'N'
+# (matches Sequence::reverseComplement, src/sequence.cpp:23-50)
+_RC_TABLE = bytes(
+    {65: 84, 97: 84, 84: 65, 116: 65, 67: 71, 99: 71, 71: 67, 103: 67}.get(c, 78)
+    for c in range(256))
+
+
+def complement_byte(c: int) -> int:
+    return {65: 84, 97: 84, 84: 65, 116: 65, 67: 71, 99: 71,
+            71: 67, 103: 67}.get(c, 78)
+
+
+def rc_bytes(seq: bytes) -> bytes:
+    out = bytearray(len(seq))
+    for i, c in enumerate(reversed(seq)):
+        out[i] = complement_byte(c)
+    return bytes(out)
+
+
+def host_correct_pair(s1: bytearray, q1: bytearray, s2: bytearray, q2: bytearray,
+                      len2: int, offset: int, overlap_len: int):
+    """Exact port of BaseCorrector::correctByOverlapAnalysis body (the
+    caller guarantees overlapped && diff != 0 && !hasGap)."""
+    start1 = max(0, offset)
+    start2 = len2 - max(0, -offset) - 1
+    for i in range(overlap_len):
+        p1 = start1 + i
+        p2 = start2 - i
+        if p1 >= len(s1) or p2 < 0 or p2 >= len(s2):
+            continue
+        if s1[p1] != complement_byte(s2[p2]):
+            if q1[p1] >= GOOD_QUAL and q2[p2] <= BAD_QUAL:
+                s2[p2] = complement_byte(s1[p1])
+                q2[p2] = q1[p1]
+            elif q2[p2] >= GOOD_QUAL and q1[p1] <= BAD_QUAL:
+                s1[p1] = complement_byte(s2[p2])
+                q1[p1] = q2[p2]
+
+
+class PairWindowView:
+    """Per-batch lazy view of windowed (possibly corrected) pair content."""
+
+    def __init__(self, seqs1, quals1, seqs2, quals2, out: Dict,
+                 correction_enabled: bool, width: int, corr_k: int = 16):
+        self.seqs1 = seqs1
+        self.quals1 = quals1
+        self.seqs2 = seqs2
+        self.quals2 = quals2
+        self.tf1 = out["total_front1"]
+        self.tf2 = out["total_front2"]
+        self.width = width
+        self._cache: Dict[int, Tuple[bytes, bytes, bytes, bytes]] = {}
+        self.correction = correction_enabled
+        if correction_enabled:
+            self.c1_pos = out["c1_pos"]
+            self.c1_base = out["c1_base"]
+            self.c1_qual = out["c1_qual"]
+            self.c1_n = out["c1_n"]
+            self.c2_pos = out["c2_pos"]
+            self.c2_base = out["c2_base"]
+            self.c2_qual = out["c2_qual"]
+            self.c2_n = out["c2_n"]
+            self.ov_offset = out["ov_offset"]
+            self.ov_olen = out["ov_olen"]
+            self.ov_ok = out["ov_ok"]
+            self.ov_hasgap = out["ov_hasgap"]
+            self.rlen1_pre = out["rlen1_pre_ovtrim"]
+            self.rlen2_pre = out["rlen2_pre_ovtrim"]
+            self.corr_k = corr_k
+            self.has_corr = (self.c1_n > 0) | (self.c2_n > 0)
+        else:
+            self.has_corr = None
+
+    def window(self, i: int):
+        """Returns (seq1, qual1, seq2, qual2) window-suffix bytes for row i."""
+        s01 = int(self.tf1[i])
+        s02 = int(self.tf2[i])
+        s1 = self.seqs1[i][s01:]
+        q1 = self.quals1[i][s01:]
+        s2 = self.seqs2[i][s02:]
+        q2 = self.quals2[i][s02:]
+        if not self.correction or not self.has_corr[i]:
+            return s1, q1, s2, q2
+        if i in self._cache:
+            return self._cache[i]
+        b1 = bytearray(s1)
+        bq1 = bytearray(q1)
+        b2 = bytearray(s2)
+        bq2 = bytearray(q2)
+        if int(self.c1_n[i]) > self.corr_k or int(self.c2_n[i]) > self.corr_k:
+            # overflow: recompute the full corrector on this row
+            host_correct_pair(b1, bq1, b2, bq2, int(self.rlen2_pre[i]),
+                              int(self.ov_offset[i]), int(self.ov_olen[i]))
+        else:
+            for k in range(int(self.c1_n[i])):
+                p = int(self.c1_pos[i, k])
+                if p < len(b1):
+                    b1[p] = int(self.c1_base[i, k])
+                    bq1[p] = int(self.c1_qual[i, k])
+            for k in range(int(self.c2_n[i])):
+                p = int(self.c2_pos[i, k])
+                if p < len(b2):
+                    b2[p] = int(self.c2_base[i, k])
+                    bq2[p] = int(self.c2_qual[i, k])
+        res = (bytes(b1), bytes(bq1), bytes(b2), bytes(bq2))
+        self._cache[i] = res
+        return res
+
+    def r1(self, i: int, end: int) -> Tuple[bytes, bytes]:
+        s1, q1, _, _ = self.window(i)
+        return s1[:end], q1[:end]
+
+    def r2(self, i: int, end: int) -> Tuple[bytes, bytes]:
+        _, _, s2, q2 = self.window(i)
+        return s2[:end], q2[:end]
+
+    def r1_slice(self, i: int, a: int, b: int) -> bytes:
+        s1, _, _, _ = self.window(i)
+        return s1[a:b]
+
+    def r2_slice(self, i: int, a: int, b: int) -> bytes:
+        _, _, s2, _ = self.window(i)
+        return s2[a:b]
+
+    def merged(self, i: int, rlen1: int, rlen2: int, ol: int,
+               m_len1: int, m_len2: int) -> Tuple[bytes, bytes]:
+        """Reconstruct the merged read (reference: src/overlapanalysis.cpp:152-183):
+        r1[:len1_m] + rc(r2_final)[ol : ol+len2_m] (quality rides along)."""
+        s1, q1, s2, q2 = self.window(i)
+        ms = s1[:m_len1]
+        mq = q1[:m_len1]
+        if m_len2 > 0:
+            rcs = s2[:rlen2].translate(_RC_TABLE)[::-1]
+            rcq = q2[:rlen2][::-1]
+            ms += rcs[ol:ol + m_len2]
+            mq += rcq[ol:ol + m_len2]
+        return ms, mq

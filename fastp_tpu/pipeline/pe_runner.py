@@ -19,6 +19,7 @@ from ..report.jsonreport import JsonReporter
 from ..report.htmlreport import HtmlReporter
 from ..utils.readname import fix_mgi
 from .device import build_pe_step
+from .hostview import PairWindowView
 from .runner import BaseProcessor, SplitWriterSet, _OverRepCounter, _round_width
 
 
@@ -173,25 +174,23 @@ class PairEndProcessor(BaseProcessor):
                 self.filter_result.inc_corrected_reads(
                     int((corr & both_c).sum()) * 2 + int((corr & ~both_c).sum()))
 
-            w1 = out["w1"]
-            wq1 = out["wq1"]
-            w2 = out["w2"]
-            wq2 = out["wq2"]
             rlen1 = out["rlen1"]
             rlen2 = out["rlen2"]
+            view = PairWindowView(seqs1, quals1, seqs2, quals2, out,
+                                  opt.correction.enabled, self.width)
 
             # --- adapter recording -----------------------------------------
             if opt.adapter.enabled:
                 ovt = out["ov_trimmed"]
                 for i in np.flatnonzero(ovt):
-                    ad1b = w1[i, int(out["rlen1_pre_adapter"][i]):
-                              int(out["rlen1_pre_ovtrim"][i])].tobytes().decode("latin-1")
-                    ad2b = w2[i, int(out["rlen2_pre_adapter"][i]):
-                              int(out["rlen2_pre_ovtrim"][i])].tobytes().decode("latin-1")
+                    ad1b = view.r1_slice(i, int(out["rlen1_pre_adapter"][i]),
+                                         int(out["rlen1_pre_ovtrim"][i])).decode("latin-1")
+                    ad2b = view.r2_slice(i, int(out["rlen2_pre_adapter"][i]),
+                                         int(out["rlen2_pre_ovtrim"][i])).decode("latin-1")
                     self.filter_result.add_adapter_trimmed_pair(ad1b, ad2b)
-                for found_key, pos_key, pre_key, post_key, warr, aseq, is_r2 in (
-                        ("ad_found1", "ad_pos1", "rlen1_pre_adapter", "rlen1_post_adapter", w1, a1, False),
-                        ("ad_found2", "ad_pos2", "rlen2_pre_adapter", "rlen2_post_adapter", w2, a2, True)):
+                for found_key, pos_key, pre_key, slicer, aseq, is_r2 in (
+                        ("ad_found1", "ad_pos1", "rlen1_pre_adapter", view.r1_slice, a1, False),
+                        ("ad_found2", "ad_pos2", "rlen2_pre_adapter", view.r2_slice, a2, True)):
                     found = out[found_key]
                     if not found.any():
                         continue
@@ -201,7 +200,7 @@ class PairEndProcessor(BaseProcessor):
                         if p < 0:
                             adapter = aseq[:len(aseq) + p].decode()
                         else:
-                            adapter = warr[i, p:int(out[pre_key][i])].tobytes().decode("latin-1")
+                            adapter = slicer(i, p, int(out[pre_key][i])).decode("latin-1")
                         self.filter_result.add_adapter_trimmed(adapter, is_r2)
 
             # --- overrepresentation sampling (pre) -------------------------
@@ -228,8 +227,9 @@ class PairEndProcessor(BaseProcessor):
                     ol = int(out["ov0_len"][i])
                     # reference quirk (src/peprocessor.cpp:464): the
                     # string(str, pos) ctor keeps the portion AFTER the overlap
-                    seq = w1[i, off:int(rlen1[i])].tobytes()[ol:]
-                    qual = wq1[i, off:int(rlen1[i])].tobytes()[ol:]
+                    s1w, q1w = view.r1(i, int(rlen1[i]))
+                    seq = s1w[off:][ol:]
+                    qual = q1w[off:][ol:]
                     parts["overlapped"] += [names1[i], b"\n", seq, b"\n",
                                             strands1[i], b"\n", qual, b"\n"]
 
@@ -237,11 +237,10 @@ class PairEndProcessor(BaseProcessor):
             if merge_on:
                 m_ok = out["merged_ok"]
                 m_res = out["m_result"]
-                m_seq = out["m_seq"]
-                m_qual = out["m_qual"]
                 m_len = out["m_len"]
                 m_len1 = out["m_len1"]
                 m_len2 = out["m_len2"]
+                ovm_ol = out["ovm_olen"]
                 self.post_stats1.add_batch(out["post_merged"])
 
             for i in range(B):
@@ -256,11 +255,12 @@ class PairEndProcessor(BaseProcessor):
                             strand = strands1[i]
                             if strand != b"+":
                                 strand = strand + tag
+                            ms, mq = view.merged(i, int(rlen1[i]), int(rlen2[i]),
+                                                 int(ovm_ol[i]), int(m_len1[i]),
+                                                 int(m_len2[i]))
                             parts["merged"] += [
-                                names1[i] + tag, b"\n",
-                                m_seq[i, :int(m_len[i])].tobytes(), b"\n",
-                                strand, b"\n",
-                                m_qual[i, :int(m_len[i])].tobytes(), b"\n"]
+                                names1[i] + tag, b"\n", ms, b"\n",
+                                strand, b"\n", mq, b"\n"]
                             read_passed += 1
                             merged_count += 1
                         merge_processed = True
@@ -269,20 +269,16 @@ class PairEndProcessor(BaseProcessor):
                         r2ok = bool(out["alive2"][i]) and result2[i] == PASS_FILTER
                         self.filter_result.add_filter_result(int(result1[i]), 1)
                         if r1ok and not dedup_out[i]:
-                            parts["merged"] += [names1[i], b"\n",
-                                                w1[i, :int(rlen1[i])].tobytes(), b"\n",
-                                                strands1[i], b"\n",
-                                                wq1[i, :int(rlen1[i])].tobytes(), b"\n"]
-                            self._stat_post1_read(w1[i, :int(rlen1[i])].tobytes(),
-                                                  wq1[i, :int(rlen1[i])].tobytes())
+                            s1w, q1w = view.r1(i, int(rlen1[i]))
+                            parts["merged"] += [names1[i], b"\n", s1w, b"\n",
+                                                strands1[i], b"\n", q1w, b"\n"]
+                            self._stat_post1_read(s1w, q1w)
                         self.filter_result.add_filter_result(int(result2[i]), 1)
                         if r2ok and not dedup_out[i]:
-                            parts["merged"] += [names2[i], b"\n",
-                                                w2[i, :int(rlen2[i])].tobytes(), b"\n",
-                                                strands2[i], b"\n",
-                                                wq2[i, :int(rlen2[i])].tobytes(), b"\n"]
-                            self._stat_post1_read(w2[i, :int(rlen2[i])].tobytes(),
-                                                  wq2[i, :int(rlen2[i])].tobytes())
+                            s2w, q2w = view.r2(i, int(rlen2[i]))
+                            parts["merged"] += [names2[i], b"\n", s2w, b"\n",
+                                                strands2[i], b"\n", q2w, b"\n"]
+                            self._stat_post1_read(s2w, q2w)
                         if r1ok and r2ok:
                             read_passed += 1
                         merge_processed = True
@@ -293,10 +289,8 @@ class PairEndProcessor(BaseProcessor):
                     if dedup_out[i]:
                         continue
                     if pass1[i] and pass2[i]:
-                        s1 = w1[i, :int(rlen1[i])].tobytes()
-                        qq1 = wq1[i, :int(rlen1[i])].tobytes()
-                        s2 = w2[i, :int(rlen2[i])].tobytes()
-                        qq2 = wq2[i, :int(rlen2[i])].tobytes()
+                        s1, qq1 = view.r1(i, int(rlen1[i]))
+                        s2, qq2 = view.r2(i, int(rlen2[i]))
                         if opt.outputToSTDOUT and not merge_on:
                             parts["single"] += [names1[i], b"\n", s1, b"\n",
                                                 strands1[i], b"\n", qq1, b"\n",
@@ -314,10 +308,9 @@ class PairEndProcessor(BaseProcessor):
                         read_passed += 1
                     elif pass1[i]:
                         if opt.unpaired1:
-                            parts["unpaired1"] += [names1[i], b"\n",
-                                                   w1[i, :int(rlen1[i])].tobytes(), b"\n",
-                                                   strands1[i], b"\n",
-                                                   wq1[i, :int(rlen1[i])].tobytes(), b"\n"]
+                            s1w, q1w = view.r1(i, int(rlen1[i]))
+                            parts["unpaired1"] += [names1[i], b"\n", s1w, b"\n",
+                                                   strands1[i], b"\n", q1w, b"\n"]
                             if opt.failedOut:
                                 self._failed(parts, names2[i], seqs2[i], strands2[i],
                                              quals2[i], pre_trim2[i],
@@ -336,10 +329,9 @@ class PairEndProcessor(BaseProcessor):
                         elif opt.unpaired1:
                             target = "unpaired1"
                         if target:
-                            parts[target] += [names2[i], b"\n",
-                                              w2[i, :int(rlen2[i])].tobytes(), b"\n",
-                                              strands2[i], b"\n",
-                                              wq2[i, :int(rlen2[i])].tobytes(), b"\n"]
+                            s2w, q2w = view.r2(i, int(rlen2[i]))
+                            parts[target] += [names2[i], b"\n", s2w, b"\n",
+                                              strands2[i], b"\n", q2w, b"\n"]
                             if opt.failedOut:
                                 self._failed(parts, names1[i], seqs1[i], strands1[i],
                                              quals1[i], pre_trim1[i],

@@ -27,7 +27,7 @@ def run_cli(tmpdir, args):
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    env["PYTHONPATH"] = ROOT
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     cmd = [sys.executable, "-m", "fastp_tpu"] + args
     res = subprocess.run(cmd, cwd=str(tmpdir), env=env,
                          capture_output=True, text=True, timeout=1800)

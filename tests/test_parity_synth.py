@@ -36,7 +36,7 @@ def run_mine(workdir, args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
-    env["PYTHONPATH"] = ROOT
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run([sys.executable, "-m", "fastp_tpu"] + args,
                          cwd=str(workdir), env=env, capture_output=True,
                          text=True, timeout=1800)
