@@ -330,6 +330,10 @@ def main(argv=None):
     opt = options_from_args(args, argv)
     t1 = time.time()
 
+    # reference order: validate before the evaluator pre-pass
+    # (main.cpp:175-431 validates, :437-507 evaluates)
+    opt.validate()
+
     support_evaluation = not opt.inputFromSTDIN and opt.in1 != "/dev/stdin"
     from .evaluator import Evaluator
     eva = Evaluator(opt)
@@ -371,8 +375,6 @@ def main(argv=None):
                 sys.stderr.write("No adapter detected for read2\n")
                 opt.adapter.sequenceR2 = ""
             sys.stderr.write("\n")
-
-    opt.validate()
 
     if opt.split.needEvaluation and support_evaluation:
         if read_num == 0:

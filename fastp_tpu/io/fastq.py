@@ -180,6 +180,248 @@ def encode_batch(records: List[Record], width: int,
     return bases, quals, lengths
 
 
+class ArrayBatch:
+    """A batch of reads as padded arrays plus name/strand byte views.
+
+    Two backing modes: (a) native-tokenized — ``chunk`` holds the raw FASTQ
+    text and names/strands are (offset, len) views into it; (b) record-list —
+    names/strands are bytes lists (chunk is None).  Either way, ``bases``,
+    ``quals`` [n, width] u8 and ``lengths`` [n] i32 are ready for the device.
+    """
+
+    __slots__ = ("n", "width", "bases", "quals", "lengths", "chunk",
+                 "name_off", "name_len", "strand_off", "strand_len",
+                 "_names", "_strands", "_nameblob", "_nameblob_off",
+                 "_nameblob_len")
+
+    def __init__(self, n, width, bases, quals, lengths, chunk=None,
+                 name_off=None, name_len=None, strand_off=None,
+                 strand_len=None, names=None, strands=None):
+        self.n = n
+        self.width = width
+        self.bases = bases
+        self.quals = quals
+        self.lengths = lengths
+        self.chunk = chunk
+        self.name_off = name_off
+        self.name_len = name_len
+        self.strand_off = strand_off
+        self.strand_len = strand_len
+        self._names = names
+        self._strands = strands
+        self._nameblob = None
+        self._nameblob_off = None
+        self._nameblob_len = None
+
+    @classmethod
+    def from_records(cls, records: List["Record"], width: int) -> "ArrayBatch":
+        bases, quals, lengths = encode_batch(records, width)
+        return cls(len(records), width, bases, quals, lengths,
+                   names=[r.name for r in records],
+                   strands=[r.strand for r in records])
+
+    @property
+    def names(self) -> List[bytes]:
+        if self._names is None:
+            ch = self.chunk
+            self._names = [
+                ch[self.name_off[i]:self.name_off[i] + self.name_len[i]].tobytes()
+                for i in range(self.n)]
+        return self._names
+
+    @property
+    def strands(self) -> List[bytes]:
+        if self._strands is None:
+            ch = self.chunk
+            self._strands = [
+                ch[self.strand_off[i]:self.strand_off[i] + self.strand_len[i]].tobytes()
+                for i in range(self.n)]
+        return self._strands
+
+    def set_names(self, names: List[bytes]):
+        """Install modified names (UMI / fixMGI); invalidates the raw view."""
+        self._names = names
+        self._nameblob = None
+
+    def name(self, i: int) -> bytes:
+        if self._names is not None:
+            return self._names[i]
+        o = self.name_off[i]
+        return self.chunk[o:o + self.name_len[i]].tobytes()
+
+    def strand(self, i: int) -> bytes:
+        if self._strands is not None:
+            return self._strands[i]
+        o = self.strand_off[i]
+        return self.chunk[o:o + self.strand_len[i]].tobytes()
+
+    def seq_bytes(self, i: int) -> bytes:
+        return self.bases[i, :self.lengths[i]].tobytes()
+
+    def qual_bytes(self, i: int) -> bytes:
+        return self.quals[i, :self.lengths[i]].tobytes()
+
+    def seqs(self) -> List[bytes]:
+        return [self.seq_bytes(i) for i in range(self.n)]
+
+    def head(self, m: int) -> "ArrayBatch":
+        """First m rows (array views; name lists sliced if materialized)."""
+        return ArrayBatch(
+            m, self.width, self.bases[:m], self.quals[:m], self.lengths[:m],
+            chunk=self.chunk,
+            name_off=None if self.name_off is None else self.name_off[:m],
+            name_len=None if self.name_len is None else self.name_len[:m],
+            strand_off=None if self.strand_off is None else self.strand_off[:m],
+            strand_len=None if self.strand_len is None else self.strand_len[:m],
+            names=None if self._names is None else self._names[:m],
+            strands=None if self._strands is None else self._strands[:m])
+
+    def widen(self, width: int) -> "ArrayBatch":
+        """Zero-pad rows out to a larger width (no-op if already wide enough)."""
+        if width <= self.width:
+            return self
+        bases = np.zeros((self.n, width), np.uint8)
+        quals = np.zeros((self.n, width), np.uint8)
+        bases[:, :self.width] = self.bases
+        quals[:, :self.width] = self.quals
+        return ArrayBatch(
+            self.n, width, bases, quals, self.lengths, chunk=self.chunk,
+            name_off=self.name_off, name_len=self.name_len,
+            strand_off=self.strand_off, strand_len=self.strand_len,
+            names=self._names, strands=self._strands)
+
+    def name_buffers(self):
+        """(buf, off, len) arrays for native serialization."""
+        if self._names is None and self.chunk is not None:
+            return self.chunk, self.name_off, self.name_len
+        if self._nameblob is None:
+            names = self.names
+            lens = np.array([len(x) for x in names], np.int32)
+            offs = np.zeros(len(names), np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            self._nameblob = np.frombuffer(b"".join(names), np.uint8)
+            self._nameblob_off = offs
+            self._nameblob_len = lens
+        return self._nameblob, self._nameblob_off, self._nameblob_len
+
+    def strand_buffers(self):
+        if self._strands is None and self.chunk is not None:
+            return self.chunk, self.strand_off, self.strand_len
+        strands = self.strands
+        lens = np.array([len(x) for x in strands], np.int32)
+        offs = np.zeros(len(strands), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        return np.frombuffer(b"".join(strands), np.uint8), offs, lens
+
+
+def _round_width32(n: int) -> int:
+    return max(32, -(-n // 32) * 32)
+
+
+class ArrayFastqReader:
+    """Streaming reader that tokenizes straight into padded arrays via the
+    native C++ tokenizer (fastp_tpu/native/fastq_native.cpp)."""
+
+    def __init__(self, filename: str, phred64: bool = False):
+        from . import native
+        self._native = native
+        assert native.get_lib() is not None
+        self.filename = filename
+        self.phred64 = phred64
+        self._fh, self._zipped = _open_stream(filename)
+        self._decomp = zlib.decompressobj(16 + 15) if self._zipped else None
+        self._pending = b""
+        self._eof = False
+        self._stopped = False
+        self.bytes_read = 0
+        self._est = 280  # adaptive bytes-per-record estimate
+
+    def _read_more(self):
+        raw = self._fh.read(CHUNK)
+        if not raw:
+            data = self._decomp.flush() if (self._zipped and self._decomp) else b""
+            self._eof = True
+            if data:
+                self._pending += data
+            return
+        self.bytes_read += len(raw)
+        if self._zipped:
+            data = self._decomp.decompress(raw)
+            while self._decomp.eof and self._decomp.unused_data:
+                leftover = self._decomp.unused_data
+                self._decomp = zlib.decompressobj(16 + 15)
+                data += self._decomp.decompress(leftover)
+        else:
+            data = raw
+        self._pending += data
+
+    def read_batch(self, n: int, width: int) -> Optional[ArrayBatch]:
+        """Exactly n records (less only at EOF/stop); None when exhausted.
+        Width auto-grows for long reads; check ``batch.width``."""
+        if self._stopped:
+            return None
+        while True:
+            need = n * self._est + 4 * self._est
+            while not self._eof and len(self._pending) < need:
+                self._read_more()
+            buf = np.frombuffer(self._pending, np.uint8)
+            (cnt, bases, quals, lengths, noff, nlen, soff, slen,
+             consumed, stopped, need_wider) = self._native.tokenize(
+                buf, self._eof, n, width, self.phred64)
+            if need_wider:
+                width = _round_width32(need_wider)
+                continue
+            if stopped:
+                self._stopped = True
+            if cnt == n or self._eof or stopped:
+                if cnt == 0:
+                    return None
+                batch = ArrayBatch(cnt, width, bases[:cnt], quals[:cnt],
+                                   lengths[:cnt], chunk=buf,
+                                   name_off=noff[:cnt], name_len=nlen[:cnt],
+                                   strand_off=soff[:cnt], strand_len=slen[:cnt])
+                self._pending = self._pending[consumed:]
+                self._est = max(64, consumed // cnt + 16)
+                return batch
+            # buffer held fewer than n complete records: read more and retry
+            self._est = max(self._est + 64, int(self._est * 1.5))
+
+    def close(self):
+        if self._fh is not sys.stdin.buffer:
+            self._fh.close()
+
+
+class PyBatchReader:
+    """Record-based fallback with the ArrayFastqReader interface."""
+
+    def __init__(self, filename: str, phred64: bool = False):
+        self._reader = FastqReader(filename, phred64)
+        self.filename = filename
+
+    @property
+    def bytes_read(self):
+        return self._reader.bytes_read
+
+    def read_batch(self, n: int, width: int) -> Optional[ArrayBatch]:
+        records = self._reader.read_batch(n)
+        if not records:
+            return None
+        maxlen = max(len(r.seq) for r in records)
+        if maxlen > width:
+            width = _round_width32(maxlen)
+        return ArrayBatch.from_records(records, width)
+
+    def close(self):
+        self._reader.close()
+
+
+def open_batch_reader(filename: str, phred64: bool = False):
+    from . import native
+    if native.get_lib() is not None:
+        return ArrayFastqReader(filename, phred64)
+    return PyBatchReader(filename, phred64)
+
+
 class OutputWriter:
     """Buffered plain/gzip writer (reference: src/writer.cpp:98-133)."""
 

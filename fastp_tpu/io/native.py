@@ -1,0 +1,148 @@
+"""ctypes bindings for the native host hot paths (fastp_tpu/native/fastq_native.cpp).
+
+The shared library is compiled on demand with g++ (no pip deps) and cached
+next to the source; callers fall back to the pure-Python implementations when
+a toolchain is unavailable (``get_lib()`` returns None).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastq_native.cpp")
+_LIB_NAME = "libfastq_native.so"
+
+_lock = threading.Lock()
+_lib = None
+_lib_tried = False
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+
+
+def _build(lib_path: str) -> bool:
+    cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
+           _SRC, "-o", lib_path]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if r.returncode != 0:
+        sys.stderr.write("fastp_tpu: native build failed, using Python path:\n"
+                         + r.stderr.decode(errors="replace")[-2000:] + "\n")
+        return False
+    return True
+
+
+def _lib_path() -> str:
+    # prefer a writable location: next to the source, else a cache dir
+    cand = os.path.join(_NATIVE_DIR, _LIB_NAME)
+    if os.access(_NATIVE_DIR, os.W_OK) or os.path.exists(cand):
+        return cand
+    cache = os.path.join(tempfile.gettempdir(), "fastp_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, _LIB_NAME)
+
+
+def _bind(lib):
+    lib.fq_tokenize.restype = ctypes.c_int64
+    lib.fq_tokenize.argtypes = [
+        _u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, _u8p, _u8p, _i32p, _i64p, _i32p, _i64p, _i32p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.fq_serialize.restype = ctypes.c_int64
+    lib.fq_serialize.argtypes = [
+        _u8p, _i64p, _i32p, _u8p, _i64p, _i32p,
+        _u8p, _u8p, _i32p, _i32p, _u8p,
+        ctypes.c_int64, ctypes.c_int64, _u8p]
+    lib.known_adapter_scan.restype = ctypes.c_int32
+    lib.known_adapter_scan.argtypes = [
+        _u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
+        _u8p, _i64p, _i32p, ctypes.c_int32,
+        _i64p, _i64p, ctypes.POINTER(ctypes.c_int64)]
+    lib.seed_histogram.restype = None
+    lib.seed_histogram.argtypes = [
+        _u8p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, _u32p]
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        _lib_tried = True
+        if os.environ.get("FASTP_TPU_NO_NATIVE"):
+            return None
+        path = _lib_path()
+        src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+        if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
+            if not os.path.exists(_SRC) or not _build(path):
+                return None
+        try:
+            _lib = _bind(ctypes.CDLL(path))
+        except OSError:
+            _lib = None
+    return _lib
+
+
+def tokenize(buf: np.ndarray, is_final: bool, max_records: int, width: int,
+             phred64: bool):
+    """Parse FASTQ records from ``buf`` into padded arrays.
+
+    Returns (n, bases, quals, lengths, name_off, name_len, strand_off,
+    strand_len, consumed, stopped, need_wider); offsets index into ``buf``.
+    """
+    lib = get_lib()
+    assert lib is not None
+    B = max_records
+    bases = np.empty((B, width), np.uint8)
+    quals = np.empty((B, width), np.uint8)
+    lengths = np.empty((B,), np.int32)
+    name_off = np.empty((B,), np.int64)
+    name_len = np.empty((B,), np.int32)
+    strand_off = np.empty((B,), np.int64)
+    strand_len = np.empty((B,), np.int32)
+    consumed = ctypes.c_int64(0)
+    stopped = ctypes.c_int32(0)
+    need_wider = ctypes.c_int32(0)
+    n = lib.fq_tokenize(buf, buf.size, int(is_final), B, width, int(phred64),
+                        bases, quals, lengths, name_off, name_len,
+                        strand_off, strand_len,
+                        ctypes.byref(consumed), ctypes.byref(stopped),
+                        ctypes.byref(need_wider))
+    return (int(n), bases, quals, lengths, name_off, name_len,
+            strand_off, strand_len, int(consumed.value),
+            bool(stopped.value), int(need_wider.value))
+
+
+def serialize(namebuf, name_off, name_len, strandbuf, strand_off, strand_len,
+              seqsrc, qualsrc, start, rlen, emit, width) -> bytes:
+    lib = get_lib()
+    assert lib is not None
+    n = len(name_len)
+    cap = int(name_len.sum()) + int(strand_len.sum()) + 2 * width * n + 8 * n
+    out = np.empty((cap,), np.uint8)
+    w = lib.fq_serialize(namebuf, name_off, name_len,
+                         strandbuf, strand_off, strand_len,
+                         np.ascontiguousarray(seqsrc),
+                         np.ascontiguousarray(qualsrc),
+                         np.ascontiguousarray(start, dtype=np.int32),
+                         np.ascontiguousarray(rlen, dtype=np.int32),
+                         np.ascontiguousarray(emit, dtype=np.uint8),
+                         n, width, out)
+    return out[:int(w)].tobytes()

@@ -12,35 +12,65 @@ from typing import Dict, List
 import numpy as np
 
 from ..config import Options, PASS_FILTER, FAILED_TYPES
-from ..io.fastq import FastqReader, OutputWriter, encode_batch
+from ..io.fastq import (FastqReader, OutputWriter, encode_batch, ArrayBatch,
+                        open_batch_reader)
+from ..io import native as native_mod
 from ..report.stats_model import Stats, cpp_num
 from ..report.filter_model import FilterResult
 from ..report.jsonreport import JsonReporter
 from ..report.htmlreport import HtmlReporter
 from ..utils.readname import fix_mgi
 from .device import build_pe_step
-from .hostview import PairWindowView
+from .hostview import PairWindowView, host_correct_pair
 from .runner import BaseProcessor, SplitWriterSet, _OverRepCounter, _round_width
 
 
-class _InterleavedPair:
-    """Reads records alternately from a single interleaved stream."""
+class _SeqView:
+    """List-like adapter exposing an ArrayBatch's per-row seq/qual bytes."""
 
-    def __init__(self, reader: FastqReader):
+    def __init__(self, batch: ArrayBatch, quals: bool = False):
+        self.batch = batch
+        self.quals = quals
+
+    def __getitem__(self, i: int) -> bytes:
+        return (self.batch.qual_bytes(i) if self.quals
+                else self.batch.seq_bytes(i))
+
+    def __len__(self):
+        return self.batch.n
+
+
+def _split_interleaved(batch: ArrayBatch):
+    """De-interleave a batch into (left, right) halves (even/odd rows)."""
+    def half(sel):
+        return ArrayBatch(
+            len(sel), batch.width,
+            np.ascontiguousarray(batch.bases[sel]),
+            np.ascontiguousarray(batch.quals[sel]),
+            np.ascontiguousarray(batch.lengths[sel]), chunk=batch.chunk,
+            name_off=batch.name_off[sel] if batch.name_off is not None else None,
+            name_len=batch.name_len[sel] if batch.name_len is not None else None,
+            strand_off=batch.strand_off[sel] if batch.strand_off is not None else None,
+            strand_len=batch.strand_len[sel] if batch.strand_len is not None else None,
+            names=([batch.names[i] for i in sel] if batch.name_off is None else None),
+            strands=([batch.strands[i] for i in sel] if batch.strand_off is None else None))
+    n2 = batch.n // 2
+    even = np.arange(0, 2 * n2, 2)
+    odd = even + 1
+    return half(even), half(odd)
+
+
+class _InterleavedPairSource:
+    """Batch source reading pairs from a single interleaved stream."""
+
+    def __init__(self, reader):
         self.reader = reader
 
-    def read_pairs(self, n: int):
-        left, right = [], []
-        for _ in range(n):
-            r1 = self.reader.read()
-            if r1 is None:
-                break
-            r2 = self.reader.read()
-            if r2 is None:
-                break
-            left.append(r1)
-            right.append(r2)
-        return left, right
+    def read_pair_batch(self, n: int, width: int):
+        batch = self.reader.read_batch(2 * n, width)
+        if batch is None or batch.n < 2:
+            return None, None
+        return _split_interleaved(batch)
 
 
 class PairEndProcessor(BaseProcessor):
@@ -62,11 +92,11 @@ class PairEndProcessor(BaseProcessor):
     def process(self) -> Dict:
         opt = self.opt
         if opt.interleavedInput:
-            pair_src = _InterleavedPair(FastqReader(opt.in1, opt.phred64))
+            pair_src = _InterleavedPairSource(open_batch_reader(opt.in1, opt.phred64))
             reader1 = reader2 = None
         else:
-            reader1 = FastqReader(opt.in1, opt.phred64)
-            reader2 = FastqReader(opt.in2, opt.phred64)
+            reader1 = open_batch_reader(opt.in1, opt.phred64)
+            reader2 = open_batch_reader(opt.in2, opt.phred64)
             pair_src = None
 
         writers = {}
@@ -109,43 +139,46 @@ class PairEndProcessor(BaseProcessor):
                 if n <= 0:
                     break
             if pair_src is not None:
-                recs1, recs2 = pair_src.read_pairs(n)
+                batch1, batch2 = pair_src.read_pair_batch(n, self.width)
             else:
-                recs1 = reader1.read_batch(n)
-                recs2 = reader2.read_batch(n)
-            if not recs1 or not recs2:
+                batch1 = reader1.read_batch(n, self.width)
+                batch2 = reader2.read_batch(n, self.width)
+            if batch1 is None or batch2 is None:
                 break
-            if len(recs1) != len(recs2):
+            if batch1.n != batch2.n:
                 sys.stderr.write("\nWARNNIG: different read numbers of the input files\n"
                                  "Read1 count: %d\nRead2 count: %d\n"
-                                 "Ignore the unmatched reads\n\n" % (len(recs1), len(recs2)))
-                m = min(len(recs1), len(recs2))
-                recs1, recs2 = recs1[:m], recs2[:m]
-            B = len(recs1)
+                                 "Ignore the unmatched reads\n\n" % (batch1.n, batch2.n))
+                m = min(batch1.n, batch2.n)
+                batch1 = batch1.head(m)
+                batch2 = batch2.head(m)
+            B = batch1.n
+            if batch1.width != batch2.width:
+                w = max(batch1.width, batch2.width)
+                batch1 = batch1.widen(w)
+                batch2 = batch2.widen(w)
+            self.width = batch1.width
 
-            names1 = [r.name for r in recs1]
-            names2 = [r.name for r in recs2]
-            seqs1 = [r.seq for r in recs1]
-            seqs2 = [r.seq for r in recs2]
-            quals1 = [r.qual for r in recs1]
-            quals2 = [r.qual for r in recs2]
-            strands1 = [r.strand for r in recs1]
-            strands2 = [r.strand for r in recs2]
-
-            index_drop = self._index_drop_mask(names1, names2)
+            if opt.indexFilter.enabled:
+                index_drop = self._index_drop_mask(batch1.names, batch2.names)
+            else:
+                index_drop = np.zeros(B, bool)
             if opt.fixMGI:
-                names1 = [fix_mgi(nm)[0] for nm in names1]
-                names2 = [fix_mgi(nm)[0] for nm in names2]
-            names1, names2, pre_trim1, pre_trim2 = self.umi.process_batch(
-                names1, seqs1, names2, seqs2)
-            pre_trim1 = np.asarray(pre_trim1, np.int32)
-            pre_trim2 = np.asarray(pre_trim2, np.int32)
+                batch1.set_names([fix_mgi(nm)[0] for nm in batch1.names])
+                batch2.set_names([fix_mgi(nm)[0] for nm in batch2.names])
+            if opt.umi.enabled:
+                names1u, names2u, pre_trim1, pre_trim2 = self.umi.process_batch(
+                    batch1.names, _SeqView(batch1), batch2.names, _SeqView(batch2))
+                batch1.set_names(names1u)
+                batch2.set_names(names2u)
+                pre_trim1 = np.asarray(pre_trim1, np.int32)
+                pre_trim2 = np.asarray(pre_trim2, np.int32)
+            else:
+                pre_trim1 = np.zeros(B, np.int32)
+                pre_trim2 = np.zeros(B, np.int32)
 
-            maxlen = max(max(len(s) for s in seqs1), max(len(s) for s in seqs2))
-            if maxlen > self.width:
-                self.width = _round_width(maxlen)
-            b1, q1, l1 = encode_batch(recs1, self.width)
-            b2, q2, l2 = encode_batch(recs2, self.width)
+            b1, q1, l1 = batch1.bases, batch1.quals, batch1.lengths
+            b2, q2, l2 = batch2.bases, batch2.quals, batch2.lengths
 
             dedup_out = np.zeros(B, bool)
             if self.duplicate is not None:
@@ -176,8 +209,9 @@ class PairEndProcessor(BaseProcessor):
 
             rlen1 = out["rlen1"]
             rlen2 = out["rlen2"]
-            view = PairWindowView(seqs1, quals1, seqs2, quals2, out,
-                                  opt.correction.enabled, self.width)
+            view = PairWindowView(_SeqView(batch1), _SeqView(batch1, True),
+                                  _SeqView(batch2), _SeqView(batch2, True),
+                                  out, opt.correction.enabled, self.width)
 
             # --- adapter recording -----------------------------------------
             if opt.adapter.enabled:
@@ -205,9 +239,10 @@ class PairEndProcessor(BaseProcessor):
 
             # --- overrepresentation sampling (pre) -------------------------
             if self.overrep_pre1.enabled:
-                for i in range(B):
-                    self.overrep_pre1.stat_read(seqs1[i], pairs_seen + i)
-                    self.overrep_pre2.stat_read(seqs2[i], pairs_seen + i)
+                samp = self.overrep_pre1.sampling
+                for i in range((-pairs_seen) % samp, B, samp):
+                    self.overrep_pre1.stat_read(batch1.seq_bytes(i), pairs_seen + i)
+                    self.overrep_pre2.stat_read(batch2.seq_bytes(i), pairs_seen + i)
 
             # --- outputs & filter-result counting --------------------------
             parts = {k: [] for k in ("out1", "out2", "single", "unpaired1",
@@ -230,8 +265,8 @@ class PairEndProcessor(BaseProcessor):
                     s1w, q1w = view.r1(i, int(rlen1[i]))
                     seq = s1w[off:][ol:]
                     qual = q1w[off:][ol:]
-                    parts["overlapped"] += [names1[i], b"\n", seq, b"\n",
-                                            strands1[i], b"\n", qual, b"\n"]
+                    parts["overlapped"] += [batch1.name(i), b"\n", seq, b"\n",
+                                            batch1.strand(i), b"\n", qual, b"\n"]
 
             merge_on = opt.merge.enabled
             if merge_on:
@@ -243,7 +278,31 @@ class PairEndProcessor(BaseProcessor):
                 ovm_ol = out["ovm_olen"]
                 self.post_stats1.add_batch(out["post_merged"])
 
-            for i in range(B):
+            fast = (native_mod.get_lib() is not None and not merge_on
+                    and split is None and not opt.outputToSTDOUT
+                    and not opt.overlappedOut
+                    and "unpaired1" not in writers
+                    and "unpaired2" not in writers
+                    and "failed" not in writers
+                    and not self.overrep_post1.enabled)
+            if fast:
+                emitp = np.asarray(out["emit_pair"][:B])
+                if opt.correction.enabled:
+                    self._patch_corrections(batch1, batch2, out, B)
+                for bt, tf_key, rl in ((batch1, "total_front1", rlen1),
+                                       (batch2, "total_front2", rlen2)):
+                    nbuf, noff, nlen_a = bt.name_buffers()
+                    sbuf, soff, slen_a = bt.strand_buffers()
+                    blob = native_mod.serialize(
+                        nbuf, noff, nlen_a, sbuf, soff, slen_a,
+                        bt.bases, bt.quals, out[tf_key][:B], rl[:B],
+                        emitp, bt.width)
+                    parts["out1" if bt is batch1 else "out2"].append(blob)
+                self.filter_result.add_filter_result_array(
+                    np.maximum(result1[:B], result2[:B])[~index_drop], 2)
+                read_passed = int(emitp.sum())
+            else:
+              for i in range(B):
                 if index_drop[i]:
                     continue
                 merge_processed = False
@@ -252,14 +311,14 @@ class PairEndProcessor(BaseProcessor):
                         self.filter_result.add_filter_result(int(m_res[i]), 2)
                         if m_res[i] == PASS_FILTER:
                             tag = b" merged_%d_%d" % (int(m_len1[i]), int(m_len2[i]))
-                            strand = strands1[i]
+                            strand = batch1.strand(i)
                             if strand != b"+":
                                 strand = strand + tag
                             ms, mq = view.merged(i, int(rlen1[i]), int(rlen2[i]),
                                                  int(ovm_ol[i]), int(m_len1[i]),
                                                  int(m_len2[i]))
                             parts["merged"] += [
-                                names1[i] + tag, b"\n", ms, b"\n",
+                                batch1.name(i) + tag, b"\n", ms, b"\n",
                                 strand, b"\n", mq, b"\n"]
                             read_passed += 1
                             merged_count += 1
@@ -270,14 +329,14 @@ class PairEndProcessor(BaseProcessor):
                         self.filter_result.add_filter_result(int(result1[i]), 1)
                         if r1ok and not dedup_out[i]:
                             s1w, q1w = view.r1(i, int(rlen1[i]))
-                            parts["merged"] += [names1[i], b"\n", s1w, b"\n",
-                                                strands1[i], b"\n", q1w, b"\n"]
+                            parts["merged"] += [batch1.name(i), b"\n", s1w, b"\n",
+                                                batch1.strand(i), b"\n", q1w, b"\n"]
                             self._stat_post1_read(s1w, q1w)
                         self.filter_result.add_filter_result(int(result2[i]), 1)
                         if r2ok and not dedup_out[i]:
                             s2w, q2w = view.r2(i, int(rlen2[i]))
-                            parts["merged"] += [names2[i], b"\n", s2w, b"\n",
-                                                strands2[i], b"\n", q2w, b"\n"]
+                            parts["merged"] += [batch2.name(i), b"\n", s2w, b"\n",
+                                                batch2.strand(i), b"\n", q2w, b"\n"]
                             self._stat_post1_read(s2w, q2w)
                         if r1ok and r2ok:
                             read_passed += 1
@@ -292,15 +351,15 @@ class PairEndProcessor(BaseProcessor):
                         s1, qq1 = view.r1(i, int(rlen1[i]))
                         s2, qq2 = view.r2(i, int(rlen2[i]))
                         if opt.outputToSTDOUT and not merge_on:
-                            parts["single"] += [names1[i], b"\n", s1, b"\n",
-                                                strands1[i], b"\n", qq1, b"\n",
-                                                names2[i], b"\n", s2, b"\n",
-                                                strands2[i], b"\n", qq2, b"\n"]
+                            parts["single"] += [batch1.name(i), b"\n", s1, b"\n",
+                                                batch1.strand(i), b"\n", qq1, b"\n",
+                                                batch2.name(i), b"\n", s2, b"\n",
+                                                batch2.strand(i), b"\n", qq2, b"\n"]
                         else:
-                            parts["out1"] += [names1[i], b"\n", s1, b"\n",
-                                              strands1[i], b"\n", qq1, b"\n"]
-                            parts["out2"] += [names2[i], b"\n", s2, b"\n",
-                                              strands2[i], b"\n", qq2, b"\n"]
+                            parts["out1"] += [batch1.name(i), b"\n", s1, b"\n",
+                                              batch1.strand(i), b"\n", qq1, b"\n"]
+                            parts["out2"] += [batch2.name(i), b"\n", s2, b"\n",
+                                              batch2.strand(i), b"\n", qq2, b"\n"]
                         if not merge_on:
                             if self.overrep_post1.enabled:
                                 self.overrep_post1.stat_read(s1, read_passed)
@@ -309,19 +368,17 @@ class PairEndProcessor(BaseProcessor):
                     elif pass1[i]:
                         if opt.unpaired1:
                             s1w, q1w = view.r1(i, int(rlen1[i]))
-                            parts["unpaired1"] += [names1[i], b"\n", s1w, b"\n",
-                                                   strands1[i], b"\n", q1w, b"\n"]
+                            parts["unpaired1"] += [batch1.name(i), b"\n", s1w, b"\n",
+                                                   batch1.strand(i), b"\n", q1w, b"\n"]
                             if opt.failedOut:
-                                self._failed(parts, names2[i], seqs2[i], strands2[i],
-                                             quals2[i], pre_trim2[i],
-                                             FAILED_TYPES[int(result2[i])])
+                                self._failed_row(parts, batch2, i, pre_trim2[i],
+                                                 FAILED_TYPES[int(result2[i])])
                         else:
                             if opt.failedOut:
-                                self._failed(parts, names1[i], seqs1[i], strands1[i],
-                                             quals1[i], pre_trim1[i], "paired_read_is_failing")
-                                self._failed(parts, names2[i], seqs2[i], strands2[i],
-                                             quals2[i], pre_trim2[i],
-                                             FAILED_TYPES[int(result2[i])])
+                                self._failed_row(parts, batch1, i, pre_trim1[i],
+                                                 "paired_read_is_failing")
+                                self._failed_row(parts, batch2, i, pre_trim2[i],
+                                                 FAILED_TYPES[int(result2[i])])
                     elif pass2[i]:
                         target = None
                         if opt.unpaired2 and opt.unpaired2 != opt.unpaired1:
@@ -330,27 +387,23 @@ class PairEndProcessor(BaseProcessor):
                             target = "unpaired1"
                         if target:
                             s2w, q2w = view.r2(i, int(rlen2[i]))
-                            parts[target] += [names2[i], b"\n", s2w, b"\n",
-                                              strands2[i], b"\n", q2w, b"\n"]
+                            parts[target] += [batch2.name(i), b"\n", s2w, b"\n",
+                                              batch2.strand(i), b"\n", q2w, b"\n"]
                             if opt.failedOut:
-                                self._failed(parts, names1[i], seqs1[i], strands1[i],
-                                             quals1[i], pre_trim1[i],
-                                             FAILED_TYPES[int(result1[i])])
+                                self._failed_row(parts, batch1, i, pre_trim1[i],
+                                                 FAILED_TYPES[int(result1[i])])
                         else:
                             if opt.failedOut:
-                                self._failed(parts, names1[i], seqs1[i], strands1[i],
-                                             quals1[i], pre_trim1[i],
-                                             FAILED_TYPES[int(result1[i])])
-                                self._failed(parts, names2[i], seqs2[i], strands2[i],
-                                             quals2[i], pre_trim2[i], "paired_read_is_failing")
+                                self._failed_row(parts, batch1, i, pre_trim1[i],
+                                                 FAILED_TYPES[int(result1[i])])
+                                self._failed_row(parts, batch2, i, pre_trim2[i],
+                                                 "paired_read_is_failing")
                     else:
                         if opt.failedOut:
-                            self._failed(parts, names1[i], seqs1[i], strands1[i],
-                                         quals1[i], pre_trim1[i],
-                                         FAILED_TYPES[int(result1[i])])
-                            self._failed(parts, names2[i], seqs2[i], strands2[i],
-                                         quals2[i], pre_trim2[i],
-                                         FAILED_TYPES[int(result2[i])])
+                            self._failed_row(parts, batch1, i, pre_trim1[i],
+                                             FAILED_TYPES[int(result1[i])])
+                            self._failed_row(parts, batch2, i, pre_trim2[i],
+                                             FAILED_TYPES[int(result2[i])])
 
             if not merge_on:
                 self.post_stats1.add_batch(out["post1"])
@@ -422,6 +475,60 @@ class PairEndProcessor(BaseProcessor):
             keys = ((keys << 0) & 0x3FF)
             np.add.at(st.kmer, keys[ok], 1)
         st._summarized = False
+
+    def _failed_row(self, parts, batch: ArrayBatch, i: int, pre_trim, tag):
+        p0 = int(pre_trim)
+        ln = int(batch.lengths[i])
+        if isinstance(tag, str):
+            tag = tag.encode()
+        parts["failed"] += [batch.name(i) + b" " + tag, b"\n",
+                            batch.bases[i, p0:ln].tobytes(), b"\n",
+                            batch.strand(i), b"\n",
+                            batch.quals[i, p0:ln].tobytes(), b"\n"]
+
+    def _patch_corrections(self, batch1: ArrayBatch, batch2: ArrayBatch,
+                           out, B: int, K: int = 16):
+        """Apply device correction deltas in place to the padded arrays so the
+        native serializer emits corrected content (overflow rows recomputed
+        exactly; reference: src/basecorrector.cpp:16-83)."""
+        c1n = out["c1_n"][:B]
+        c2n = out["c2_n"][:B]
+        rows = np.flatnonzero((c1n > 0) | (c2n > 0))
+        if rows.size == 0:
+            return
+        tf1 = out["total_front1"]
+        tf2 = out["total_front2"]
+        b1, q1 = batch1.bases, batch1.quals
+        b2, q2 = batch2.bases, batch2.quals
+        c1_pos, c1_base, c1_qual = out["c1_pos"], out["c1_base"], out["c1_qual"]
+        c2_pos, c2_base, c2_qual = out["c2_pos"], out["c2_base"], out["c2_qual"]
+        for i in rows:
+            s01, s02 = int(tf1[i]), int(tf2[i])
+            e1, e2 = int(batch1.lengths[i]), int(batch2.lengths[i])
+            if int(c1n[i]) > K or int(c2n[i]) > K:
+                s1 = bytearray(b1[i, s01:e1].tobytes())
+                qq1 = bytearray(q1[i, s01:e1].tobytes())
+                s2 = bytearray(b2[i, s02:e2].tobytes())
+                qq2 = bytearray(q2[i, s02:e2].tobytes())
+                host_correct_pair(s1, qq1, s2, qq2,
+                                  int(out["rlen2_pre_ovtrim"][i]),
+                                  int(out["ov_offset"][i]),
+                                  int(out["ov_olen"][i]))
+                b1[i, s01:e1] = np.frombuffer(bytes(s1), np.uint8)
+                q1[i, s01:e1] = np.frombuffer(bytes(qq1), np.uint8)
+                b2[i, s02:e2] = np.frombuffer(bytes(s2), np.uint8)
+                q2[i, s02:e2] = np.frombuffer(bytes(qq2), np.uint8)
+                continue
+            for k in range(int(c1n[i])):
+                p = s01 + int(c1_pos[i, k])
+                if p < e1:
+                    b1[i, p] = c1_base[i, k]
+                    q1[i, p] = c1_qual[i, k]
+            for k in range(int(c2n[i])):
+                p = s02 + int(c2_pos[i, k])
+                if p < e2:
+                    b2[i, p] = c2_base[i, k]
+                    q2[i, p] = c2_qual[i, k]
 
     def _failed(self, parts, name, seq, strand, qual, pre_trim, tag):
         p0 = int(pre_trim)

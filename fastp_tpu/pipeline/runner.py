@@ -15,7 +15,8 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config import Options, PASS_FILTER, FAILED_TYPES, FILTER_RESULT_TYPES
-from ..io.fastq import FastqReader, OutputWriter, encode_batch
+from ..io.fastq import (FastqReader, OutputWriter, encode_batch,
+                        open_batch_reader)
 from ..duplicate import Duplicate
 from ..umi import UmiProcessor
 from ..utils.readname import fix_mgi, first_index, last_index
@@ -135,7 +136,9 @@ class SingleEndProcessor(BaseProcessor):
 
     def process(self) -> Dict:
         opt = self.opt
-        reader = FastqReader(opt.in1, opt.phred64)
+        reader = open_batch_reader(opt.in1, opt.phred64)
+        from ..io import native as native_mod
+        nlib = native_mod.get_lib()
         out_writer = None
         failed_writer = None
         if not opt.split.enabled:
@@ -156,26 +159,26 @@ class SingleEndProcessor(BaseProcessor):
                 n = min(n, opt.readsToProcess - reads_seen)
                 if n <= 0:
                     break
-            records = reader.read_batch(n)
-            if not records:
+            batch = reader.read_batch(n, self.width)
+            if batch is None:
                 break
+            B = batch.n
+            self.width = batch.width
+            bases, quals_arr, lengths = batch.bases, batch.quals, batch.lengths
 
-            names = [r.name for r in records]
-            seqs = [r.seq for r in records]
-            quals = [r.qual for r in records]
-            strands = [r.strand for r in records]
-            B = len(records)
-
-            index_drop = self._index_drop_mask(names)
+            if opt.indexFilter.enabled:
+                index_drop = self._index_drop_mask(batch.names)
+            else:
+                index_drop = np.zeros(B, bool)
             if opt.fixMGI:
-                names = [fix_mgi(nm)[0] for nm in names]
-            names, _, pre_trim, _ = self.umi.process_batch(names, seqs)
-            pre_trim = np.asarray(pre_trim, np.int32)
-
-            maxlen = max(len(s) for s in seqs)
-            if maxlen > self.width:
-                self.width = _round_width(maxlen)
-            bases, quals_arr, lengths = encode_batch(records, self.width)
+                batch.set_names([fix_mgi(nm)[0] for nm in batch.names])
+            if opt.umi.enabled:
+                names_u, _, pre_trim, _ = self.umi.process_batch(
+                    batch.names, batch.seqs())
+                batch.set_names(names_u)
+                pre_trim = np.asarray(pre_trim, np.int32)
+            else:
+                pre_trim = np.zeros(B, np.int32)
 
             dedup_out = np.zeros(B, bool)
             if self.duplicate is not None:
@@ -214,50 +217,58 @@ class SingleEndProcessor(BaseProcessor):
                         adapter = adapter_seq1[:alen + p].decode()
                     else:
                         s0 = int(tf[i])
-                        adapter = seqs[i][s0 + int(post_ad[i]): s0 + int(pre_ad[i])].decode()
+                        adapter = bases[i, s0 + int(post_ad[i]):
+                                        s0 + int(pre_ad[i])].tobytes().decode()
                     self.filter_result.add_adapter_trimmed(adapter, False)
 
             # overrepresentation sampling (pre on original, post on emitted)
             if self.overrep_pre.enabled:
-                for i in range(B):
-                    self.overrep_pre.stat_read(seqs[i], reads_seen + i)
+                samp = self.overrep_pre.sampling
+                for i in range((-reads_seen) % samp, B, samp):
+                    self.overrep_pre.stat_read(batch.seq_bytes(i), reads_seen + i)
             # serialization
             emit = out["emit"]
             tf = out["total_front"]
             rlen = out["rlen"]
             result = out["result"]
-            out_parts = []
-            failed_parts = []
-            post_count = 0
-            for i in range(B):
-                if emit[i]:
+            emit_np = emit[:B]
+            post_count = int(emit_np.sum())
+            if nlib is not None:
+                nbuf, noff, nlen_a = batch.name_buffers()
+                sbuf, soff, slen_a = batch.strand_buffers()
+                blob = native_mod.serialize(
+                    nbuf, noff, nlen_a, sbuf, soff, slen_a,
+                    bases, quals_arr, tf[:B], rlen[:B],
+                    emit_np, batch.width)
+            else:
+                out_parts = []
+                for i in np.flatnonzero(emit_np):
                     s0 = int(tf[i])
                     s1 = s0 + int(rlen[i])
-                    out_parts.append(names[i])
-                    out_parts.append(b"\n")
-                    out_parts.append(seqs[i][s0:s1])
-                    out_parts.append(b"\n")
-                    out_parts.append(strands[i])
-                    out_parts.append(b"\n")
-                    out_parts.append(quals[i][s0:s1])
-                    out_parts.append(b"\n")
-                    if self.overrep_post.enabled:
-                        self.overrep_post.stat_read(seqs[i][s0:s1], post_count)
-                    post_count += 1
-                elif (failed_writer is not None and not index_drop[i]
-                      and not dedup_out[i]):
+                    out_parts += [batch.name(i), b"\n",
+                                  bases[i, s0:s1].tobytes(), b"\n",
+                                  batch.strand(i), b"\n",
+                                  quals_arr[i, s0:s1].tobytes(), b"\n"]
+                blob = b"".join(out_parts)
+            if self.overrep_post.enabled:
+                k = 0
+                for i in np.flatnonzero(emit_np):
+                    if k % self.overrep_post.sampling == 0:
+                        s0 = int(tf[i])
+                        self.overrep_post.stat_read(
+                            bases[i, s0:s0 + int(rlen[i])].tobytes(), k)
+                    k += 1
+            failed_parts = []
+            if failed_writer is not None:
+                for i in np.flatnonzero(~emit_np & ~index_drop & ~dedup_out):
                     p0 = int(pre_trim[i])
+                    ln = int(lengths[i])
                     tag = FAILED_TYPES[int(result[i])].encode()
-                    failed_parts.append(names[i] + b" " + tag)
-                    failed_parts.append(b"\n")
-                    failed_parts.append(seqs[i][p0:])
-                    failed_parts.append(b"\n")
-                    failed_parts.append(strands[i])
-                    failed_parts.append(b"\n")
-                    failed_parts.append(quals[i][p0:])
-                    failed_parts.append(b"\n")
+                    failed_parts += [batch.name(i) + b" " + tag, b"\n",
+                                     bases[i, p0:ln].tobytes(), b"\n",
+                                     batch.strand(i), b"\n",
+                                     quals_arr[i, p0:ln].tobytes(), b"\n"]
 
-            blob = b"".join(out_parts)
             if split is not None:
                 split.write1(blob, post_count if opt.split.byFileLines else B)
             elif out_writer is not None:

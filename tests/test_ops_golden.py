@@ -159,7 +159,7 @@ def test_base_corrector_golden():
     qb1, _ = enc(q1)
     qb2, _ = enc(q2)
     ov = overlap_ops.analyze(b1, l1, b2, l2, 5, 30, 0.2)
-    ns1, nq1, ns2, nq2, cm, corrected, r1c, r2c = correct_ops.correct_by_overlap(
+    ns1, nq1, ns2, nq2, cm, corrected, r1c, r2c, _masks = correct_ops.correct_by_overlap(
         b1, qb1, l1, b2, qb2, l2,
         ov["overlapped"], ov["offset"], ov["overlap_len"], ov["diff"])
     assert dec(ns1, 56) == "TTTTAACCCCCCCCCCCCCCCCCCCCCCCCCCCCAATTTTAAAATTTTCCCCGGGG"
