@@ -330,9 +330,13 @@ def main(argv=None):
     opt = options_from_args(args, argv)
     t1 = time.time()
 
-    # reference order: validate before the evaluator pre-pass
-    # (main.cpp:175-431 validates, :437-507 evaluates)
-    opt.validate()
+    # early input existence check (the reference's FastqReader error_exits
+    # on open failure before validate runs at main.cpp:485)
+    from .config import check_file_valid
+    if opt.in1 and not opt.inputFromSTDIN and opt.in1 != "/dev/stdin":
+        check_file_valid(opt.in1)
+    if opt.in2:
+        check_file_valid(opt.in2)
 
     support_evaluation = not opt.inputFromSTDIN and opt.in1 != "/dev/stdin"
     from .evaluator import Evaluator
@@ -375,6 +379,9 @@ def main(argv=None):
                 sys.stderr.write("No adapter detected for read2\n")
                 opt.adapter.sequenceR2 = ""
             sys.stderr.write("\n")
+
+    # reference order: validate runs after adapter detection (main.cpp:485)
+    opt.validate()
 
     if opt.split.needEvaluation and support_evaluation:
         if read_num == 0:

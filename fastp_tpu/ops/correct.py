@@ -86,6 +86,27 @@ def correct_by_overlap(seq1, qual1, len1, seq2, qual2, len2,
             {"mask1": use_r2, "mask2": use_r1_2})
 
 
+def extract_deltas_sparse(mask, seq_new, qual_new, C: int):
+    """Batch-level sparse (row, pos, base, qual) correction list.
+
+    D2H transfer is O(C) instead of O(B*K): corrections are rare (Q30/Q14
+    asymmetry in an overlap), so C=2048 covers virtually every batch; the
+    host falls back to exact recomputation when count > C.
+    Returns (rows[C] i32 with B as sentinel, pos[C] i32, base[C] u8,
+    qual[C] u8, count i32).
+    """
+    B, L = mask.shape
+    flat = mask.reshape(-1)
+    idx = jnp.nonzero(flat, size=C, fill_value=B * L)[0]
+    rows = (idx // L).astype(jnp.int32)
+    pos = (idx - rows * L).astype(jnp.int32)
+    safe = jnp.minimum(idx, B * L - 1)
+    base = seq_new.reshape(-1)[safe]
+    qual = qual_new.reshape(-1)[safe]
+    count = jnp.sum(mask, dtype=jnp.int32)
+    return rows, pos, base, qual, count
+
+
 def extract_deltas(mask, seq_new, qual_new, K: int):
     """Extract up to K (position, base, qual) correction deltas per read.
 

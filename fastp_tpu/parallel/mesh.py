@@ -23,29 +23,18 @@ def make_mesh(n_devices: int = 0) -> Mesh:
     return Mesh(np.array(devs), ("dp",))
 
 
-# stat-tensor output keys that must be reduced across shards
-_REDUCED_KEYS = ("pre", "post", "pre1", "pre2", "post1", "post2",
-                 "post_merged", "isize_hist", "corr_matrix",
-                 "polyx_reads", "polyx_bases")
-
-
-def _out_shardings_for(tree, mesh):
-    """Per-read arrays sharded on dp; reduced stats replicated."""
+def _out_shardings_for(tree, mesh, batch: int):
+    """Leaves with a leading batch dim shard on dp; everything else
+    (reduced stats, scalars, batch-level sparse lists) replicates."""
     shard = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
 
-    def assign(path_key, leaf):
-        return repl if path_key in _REDUCED_KEYS else shard
+    def assign(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == batch:
+            return shard
+        return repl
 
-    out = {}
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            out[k] = {kk: repl for kk in v}
-        elif k in _REDUCED_KEYS:
-            out[k] = repl
-        else:
-            out[k] = shard
-    return out
+    return jax.tree_util.tree_map(assign, tree)
 
 
 def build_sharded_step(step_fn, mesh: Mesh, n_batch_args: int):
@@ -68,7 +57,7 @@ def build_sharded_step(step_fn, mesh: Mesh, n_batch_args: int):
         if key not in jitted:
             # trace once to learn the output tree, then re-jit with shardings
             out_tree = jax.eval_shape(step_fn, *put)
-            out_sh = _out_shardings_for(out_tree, mesh)
+            out_sh = _out_shardings_for(out_tree, mesh, args[0].shape[0])
             jitted[key] = jax.jit(step_fn, out_shardings=out_sh)
         return jitted[key](*put)
 

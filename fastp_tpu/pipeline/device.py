@@ -12,6 +12,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .._jaxcache import ensure_compile_cache
+ensure_compile_cache()
+
 from ..config import PASS_FILTER
 from ..ops import trim as trim_ops
 from ..ops import polyx as polyx_ops
@@ -203,17 +206,26 @@ def build_pe_step(cfg: DeviceCfg):
         isize_hist = jnp.zeros((cfg.insert_size_max + 1,), jnp.int32).at[
             jnp.where(both, isize, cfg.insert_size_max)].add(both.astype(jnp.int32))
 
-        CORR_K = 16
+        CORR_C = 2048
         if cfg.correction_enabled:
             do = ov_ok & ~ov["has_gap"]
             (w1, wq1, w2, wq2, corr_matrix, corrected, r1c, r2c, masks) = \
                 correct_ops.correct_by_overlap(
                     w1, wq1, rlen1, w2, wq2, rlen2,
                     do, ov["offset"], ov["overlap_len"], ov["diff"])
-            (out["c1_pos"], out["c1_base"], out["c1_qual"], out["c1_n"]) = \
-                correct_ops.extract_deltas(masks["mask1"], w1, wq1, CORR_K)
-            (out["c2_pos"], out["c2_base"], out["c2_qual"], out["c2_n"]) = \
-                correct_ops.extract_deltas(masks["mask2"], w2, wq2, CORR_K)
+            (out["c1_rows"], out["c1_pos"], out["c1_base"], out["c1_qual"],
+             out["c1_count"]) = correct_ops.extract_deltas_sparse(
+                masks["mask1"], w1, wq1, CORR_C)
+            (out["c2_rows"], out["c2_pos"], out["c2_base"], out["c2_qual"],
+             out["c2_count"]) = correct_ops.extract_deltas_sparse(
+                masks["mask2"], w2, wq2, CORR_C)
+            # corrected-read counter, reduced on device
+            # (reference: src/peprocessor.cpp:440-443 via FilterResult)
+            corr_any = corrected > 0
+            both_c = r1c & r2c
+            out["corrected_reads"] = (
+                2 * jnp.sum(corr_any & both_c, dtype=jnp.int32)
+                + jnp.sum(corr_any & ~both_c, dtype=jnp.int32))
 
         if cfg.adapter_enabled:
             nl1, nl2, ov_trimmed = adapter_ops.trim_by_overlap(
@@ -269,7 +281,7 @@ def build_pe_step(cfg: DeviceCfg):
         out.update({
             "pre1": pre1, "pre2": pre2, "post1": post1, "post2": post2,
             "ov_offset": ov["offset"], "ov_olen": ov["overlap_len"],
-            "ov_ok": ov_ok, "ov_hasgap": ov["has_gap"],
+            "ov_ok": ov_ok, "ov_hasgap": ov["has_gap"], "ov_diff": ov["diff"],
             "total_front1": tf1, "total_front2": tf2,
             "rlen1": rlen1, "rlen2": rlen2,
             "result1": result1, "result2": result2,
@@ -289,8 +301,6 @@ def build_pe_step(cfg: DeviceCfg):
             "polyx_bases": px_b1 + px_b2,
             "isize_hist": isize_hist,
             "corr_matrix": corr_matrix,
-            "corrected": corrected,
-            "r1_corrected": r1c, "r2_corrected": r2c,
         })
         return out
 

@@ -58,7 +58,7 @@ class PairWindowView:
     """Per-batch lazy view of windowed (possibly corrected) pair content."""
 
     def __init__(self, seqs1, quals1, seqs2, quals2, out: Dict,
-                 correction_enabled: bool, width: int, corr_k: int = 16):
+                 correction_enabled: bool, width: int, corr_c: int = 2048):
         self.seqs1 = seqs1
         self.quals1 = quals1
         self.seqs2 = seqs2
@@ -69,24 +69,41 @@ class PairWindowView:
         self._cache: Dict[int, Tuple[bytes, bytes, bytes, bytes]] = {}
         self.correction = correction_enabled
         if correction_enabled:
-            self.c1_pos = out["c1_pos"]
-            self.c1_base = out["c1_base"]
-            self.c1_qual = out["c1_qual"]
-            self.c1_n = out["c1_n"]
-            self.c2_pos = out["c2_pos"]
-            self.c2_base = out["c2_base"]
-            self.c2_qual = out["c2_qual"]
-            self.c2_n = out["c2_n"]
+            n1 = int(out["c1_count"])
+            n2 = int(out["c2_count"])
+            self.overflow = n1 > corr_c or n2 > corr_c
             self.ov_offset = out["ov_offset"]
             self.ov_olen = out["ov_olen"]
-            self.ov_ok = out["ov_ok"]
-            self.ov_hasgap = out["ov_hasgap"]
-            self.rlen1_pre = out["rlen1_pre_ovtrim"]
             self.rlen2_pre = out["rlen2_pre_ovtrim"]
-            self.corr_k = corr_k
-            self.has_corr = (self.c1_n > 0) | (self.c2_n > 0)
+            B = len(self.tf1)
+            self.has_corr = np.zeros(B, bool)
+            if self.overflow:
+                # sparse list truncated: every correctable row is recomputed
+                self.has_corr[:] = (out["ov_ok"][:B]
+                                    & ~out["ov_hasgap"][:B]
+                                    & (out["ov_diff"][:B] != 0))
+                self.c1 = self.c2 = None
+            else:
+                # rows ascend (row-major nonzero) -> searchsorted per row
+                self.c1 = (out["c1_rows"][:n1], out["c1_pos"][:n1],
+                           out["c1_base"][:n1], out["c1_qual"][:n1])
+                self.c2 = (out["c2_rows"][:n2], out["c2_pos"][:n2],
+                           out["c2_base"][:n2], out["c2_qual"][:n2])
+                self.has_corr[self.c1[0][self.c1[0] < B]] = True
+                self.has_corr[self.c2[0][self.c2[0] < B]] = True
         else:
             self.has_corr = None
+
+    @staticmethod
+    def _apply_sparse(buf: bytearray, qbuf: bytearray, deltas, i: int):
+        rows, pos, base, qual = deltas
+        lo = np.searchsorted(rows, i, "left")
+        hi = np.searchsorted(rows, i, "right")
+        for k in range(lo, hi):
+            p = int(pos[k])
+            if p < len(buf):
+                buf[p] = int(base[k])
+                qbuf[p] = int(qual[k])
 
     def window(self, i: int):
         """Returns (seq1, qual1, seq2, qual2) window-suffix bytes for row i."""
@@ -104,21 +121,12 @@ class PairWindowView:
         bq1 = bytearray(q1)
         b2 = bytearray(s2)
         bq2 = bytearray(q2)
-        if int(self.c1_n[i]) > self.corr_k or int(self.c2_n[i]) > self.corr_k:
-            # overflow: recompute the full corrector on this row
+        if self.overflow:
             host_correct_pair(b1, bq1, b2, bq2, int(self.rlen2_pre[i]),
                               int(self.ov_offset[i]), int(self.ov_olen[i]))
         else:
-            for k in range(int(self.c1_n[i])):
-                p = int(self.c1_pos[i, k])
-                if p < len(b1):
-                    b1[p] = int(self.c1_base[i, k])
-                    bq1[p] = int(self.c1_qual[i, k])
-            for k in range(int(self.c2_n[i])):
-                p = int(self.c2_pos[i, k])
-                if p < len(b2):
-                    b2[p] = int(self.c2_base[i, k])
-                    bq2[p] = int(self.c2_qual[i, k])
+            self._apply_sparse(b1, bq1, self.c1, i)
+            self._apply_sparse(b2, bq2, self.c2, i)
         res = (bytes(b1), bytes(bq1), bytes(b2), bytes(bq2))
         self._cache[i] = res
         return res

@@ -129,22 +129,35 @@ class PairEndProcessor(BaseProcessor):
             split = SplitWriterSet(opt, paired=True)
 
         pairs_seen = 0
+        pairs_read = 0
         a1 = self.cfg.adapter_seq1
         a2 = self.cfg.adapter_seq2
+        import jax
 
-        while True:
+        eof = False
+
+        def produce():
+            """Read one batch, run host-side pre-ops, dispatch the device
+            step asynchronously.  Called for batch k+1 BEFORE batch k's
+            results are fetched, so the next upload+compute overlaps the
+            current download+host work."""
+            nonlocal eof, pairs_read
+            if eof:
+                return None
             n = opt.batchSize
             if opt.readsToProcess > 0:
-                n = min(n, opt.readsToProcess - pairs_seen)
+                n = min(n, opt.readsToProcess - pairs_read)
                 if n <= 0:
-                    break
+                    eof = True
+                    return None
             if pair_src is not None:
                 batch1, batch2 = pair_src.read_pair_batch(n, self.width)
             else:
                 batch1 = reader1.read_batch(n, self.width)
                 batch2 = reader2.read_batch(n, self.width)
             if batch1 is None or batch2 is None:
-                break
+                eof = True
+                return None
             if batch1.n != batch2.n:
                 sys.stderr.write("\nWARNNIG: different read numbers of the input files\n"
                                  "Read1 count: %d\nRead2 count: %d\n"
@@ -188,12 +201,22 @@ class PairEndProcessor(BaseProcessor):
 
             (b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp, dedp), valid = \
                 self._pad_batch([b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
-                                 index_drop, dedup_out], B)
-            out = self.step(b1p, q1p, l1p, b2p, q2p, l2p,
-                            pt1p, pt2p, idxp, dedp, valid)
-            out = {k: (np.asarray(v) if not isinstance(v, dict)
-                       else {kk: np.asarray(vv) for kk, vv in v.items()})
-                   for k, v in out.items()}
+                                 index_drop, dedup_out], B,
+                                target=opt.batchSize)
+            out_dev = self.step(b1p, q1p, l1p, b2p, q2p, l2p,
+                                pt1p, pt2p, idxp, dedp, valid)
+            pairs_read += B
+            return (out_dev, batch1, batch2, B, index_drop,
+                    pre_trim1, pre_trim2, dedup_out)
+
+        pending = produce()
+        while pending is not None:
+            nxt = produce()  # dispatch k+1 before fetching k
+            (out, batch1, batch2, B, index_drop,
+             pre_trim1, pre_trim2, dedup_out) = pending
+            # ONE batched D2H fetch: per-buffer np.asarray roundtrips cost
+            # ~3ms each over the device tunnel (80+ outputs = seconds/batch)
+            out = jax.device_get(out)
 
             self.pre_stats1.add_batch(out["pre1"])
             self.pre_stats2.add_batch(out["pre2"])
@@ -202,10 +225,7 @@ class PairEndProcessor(BaseProcessor):
 
             if opt.correction.enabled:
                 self.filter_result.add_correction_matrix(out["corr_matrix"])
-                corr = out["corrected"] > 0
-                both_c = out["r1_corrected"] & out["r2_corrected"]
-                self.filter_result.inc_corrected_reads(
-                    int((corr & both_c).sum()) * 2 + int((corr & ~both_c).sum()))
+                self.filter_result.inc_corrected_reads(int(out["corrected_reads"]))
 
             rlen1 = out["rlen1"]
             rlen2 = out["rlen2"]
@@ -426,6 +446,7 @@ class PairEndProcessor(BaseProcessor):
                         writers[key].write(b"".join(parts[key]))
 
             pairs_seen += B
+            pending = nxt
 
         if reader1:
             reader1.close()
@@ -487,48 +508,56 @@ class PairEndProcessor(BaseProcessor):
                             batch.quals[i, p0:ln].tobytes(), b"\n"]
 
     def _patch_corrections(self, batch1: ArrayBatch, batch2: ArrayBatch,
-                           out, B: int, K: int = 16):
-        """Apply device correction deltas in place to the padded arrays so the
-        native serializer emits corrected content (overflow rows recomputed
-        exactly; reference: src/basecorrector.cpp:16-83)."""
-        c1n = out["c1_n"][:B]
-        c2n = out["c2_n"][:B]
-        rows = np.flatnonzero((c1n > 0) | (c2n > 0))
-        if rows.size == 0:
+                           out, B: int, C: int = 2048):
+        """Apply the device's sparse correction deltas in place to the padded
+        arrays so the native serializer emits corrected content.  Overflowing
+        batches (count > C) are recomputed exactly on host
+        (reference: src/basecorrector.cpp:16-83)."""
+        n1 = int(out["c1_count"])
+        n2 = int(out["c2_count"])
+        if n1 == 0 and n2 == 0:
+            return
+        if n1 > C or n2 > C:
+            self._host_correct_all(batch1, batch2, out, B)
             return
         tf1 = out["total_front1"]
         tf2 = out["total_front2"]
+        for bt, tf, rows_k, pos_k, base_k, qual_k, cnt in (
+                (batch1, tf1, "c1_rows", "c1_pos", "c1_base", "c1_qual", n1),
+                (batch2, tf2, "c2_rows", "c2_pos", "c2_base", "c2_qual", n2)):
+            if cnt == 0:
+                continue
+            rows = out[rows_k][:cnt]
+            apos = tf[rows] + out[pos_k][:cnt]
+            ok = apos < bt.lengths[rows]
+            rows, apos = rows[ok], apos[ok]
+            bt.bases[rows, apos] = out[base_k][:cnt][ok]
+            bt.quals[rows, apos] = out[qual_k][:cnt][ok]
+
+    def _host_correct_all(self, batch1: ArrayBatch, batch2: ArrayBatch,
+                          out, B: int):
+        """Exact host recomputation of every correctable row (sparse-list
+        overflow path)."""
+        do = (out["ov_ok"][:B] & ~out["ov_hasgap"][:B]
+              & (out["ov_diff"][:B] != 0))
+        tf1, tf2 = out["total_front1"], out["total_front2"]
         b1, q1 = batch1.bases, batch1.quals
         b2, q2 = batch2.bases, batch2.quals
-        c1_pos, c1_base, c1_qual = out["c1_pos"], out["c1_base"], out["c1_qual"]
-        c2_pos, c2_base, c2_qual = out["c2_pos"], out["c2_base"], out["c2_qual"]
-        for i in rows:
+        for i in np.flatnonzero(do):
             s01, s02 = int(tf1[i]), int(tf2[i])
             e1, e2 = int(batch1.lengths[i]), int(batch2.lengths[i])
-            if int(c1n[i]) > K or int(c2n[i]) > K:
-                s1 = bytearray(b1[i, s01:e1].tobytes())
-                qq1 = bytearray(q1[i, s01:e1].tobytes())
-                s2 = bytearray(b2[i, s02:e2].tobytes())
-                qq2 = bytearray(q2[i, s02:e2].tobytes())
-                host_correct_pair(s1, qq1, s2, qq2,
-                                  int(out["rlen2_pre_ovtrim"][i]),
-                                  int(out["ov_offset"][i]),
-                                  int(out["ov_olen"][i]))
-                b1[i, s01:e1] = np.frombuffer(bytes(s1), np.uint8)
-                q1[i, s01:e1] = np.frombuffer(bytes(qq1), np.uint8)
-                b2[i, s02:e2] = np.frombuffer(bytes(s2), np.uint8)
-                q2[i, s02:e2] = np.frombuffer(bytes(qq2), np.uint8)
-                continue
-            for k in range(int(c1n[i])):
-                p = s01 + int(c1_pos[i, k])
-                if p < e1:
-                    b1[i, p] = c1_base[i, k]
-                    q1[i, p] = c1_qual[i, k]
-            for k in range(int(c2n[i])):
-                p = s02 + int(c2_pos[i, k])
-                if p < e2:
-                    b2[i, p] = c2_base[i, k]
-                    q2[i, p] = c2_qual[i, k]
+            s1 = bytearray(b1[i, s01:e1].tobytes())
+            qq1 = bytearray(q1[i, s01:e1].tobytes())
+            s2 = bytearray(b2[i, s02:e2].tobytes())
+            qq2 = bytearray(q2[i, s02:e2].tobytes())
+            host_correct_pair(s1, qq1, s2, qq2,
+                              int(out["rlen2_pre_ovtrim"][i]),
+                              int(out["ov_offset"][i]),
+                              int(out["ov_olen"][i]))
+            b1[i, s01:e1] = np.frombuffer(bytes(s1), np.uint8)
+            q1[i, s01:e1] = np.frombuffer(bytes(qq1), np.uint8)
+            b2[i, s02:e2] = np.frombuffer(bytes(s2), np.uint8)
+            q2[i, s02:e2] = np.frombuffer(bytes(qq2), np.uint8)
 
     def _failed(self, parts, name, seq, strand, qual, pre_trim, tag):
         p0 = int(pre_trim)

@@ -97,14 +97,23 @@ class BaseProcessor:
         from ..parallel.mesh import build_sharded_step
         return build_sharded_step(step_fn, self.mesh, 0)
 
-    def _pad_batch(self, arrays, B):
-        """Pad batch-major arrays to a multiple of the device count and
-        build the valid mask."""
-        if self.mesh is None:
+    def _pad_batch(self, arrays, B, target=None):
+        """Pad batch-major arrays to a fixed target size (and a multiple of
+        the device count) with a valid mask.  Keeping every batch the same
+        shape avoids a full XLA recompile (~30-50s on TPU) for the final
+        partial batch."""
+        tgt = max(B, target or B)
+        tgt = -(-tgt // self.n_dev) * self.n_dev
+        pad = tgt - B
+        if pad == 0:
             return arrays, np.ones(B, bool)
-        from ..parallel.mesh import pad_to_multiple
-        padded, valid, _ = pad_to_multiple(arrays, self.n_dev, B)
-        return padded, valid
+        out = []
+        for a in arrays:
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            out.append(np.pad(a, widths))
+        valid = np.zeros(tgt, bool)
+        valid[:B] = True
+        return out, valid
 
     def _index_drop_mask(self, names1, names2=None) -> np.ndarray:
         n = len(names1)
@@ -151,20 +160,30 @@ class SingleEndProcessor(BaseProcessor):
         split = SplitWriterSet(opt) if opt.split.enabled else None
 
         reads_seen = 0
+        reads_read = 0
         adapter_seq1 = self.cfg.adapter_seq1
+        import jax
 
-        while True:
+        eof = False
+
+        def produce():
+            """Read + host-pre + async device dispatch for one batch (the
+            next batch's upload/compute overlaps the current fetch/host)."""
+            nonlocal eof, reads_read
+            if eof:
+                return None
             n = opt.batchSize
             if opt.readsToProcess > 0:
-                n = min(n, opt.readsToProcess - reads_seen)
+                n = min(n, opt.readsToProcess - reads_read)
                 if n <= 0:
-                    break
+                    eof = True
+                    return None
             batch = reader.read_batch(n, self.width)
             if batch is None:
-                break
+                eof = True
+                return None
             B = batch.n
             self.width = batch.width
-            bases, quals_arr, lengths = batch.bases, batch.quals, batch.lengths
 
             if opt.indexFilter.enabled:
                 index_drop = self._index_drop_mask(batch.names)
@@ -182,18 +201,27 @@ class SingleEndProcessor(BaseProcessor):
 
             dedup_out = np.zeros(B, bool)
             if self.duplicate is not None:
-                dup = self.duplicate.check_batch_se(bases, lengths)
+                dup = self.duplicate.check_batch_se(batch.bases, batch.lengths)
                 if opt.duplicate.dedup:
                     dedup_out = dup
 
             (bases_p, quals_p, lengths_p, pre_trim_p, index_drop_p,
              dedup_p), valid = self._pad_batch(
-                [bases, quals_arr, lengths, pre_trim, index_drop, dedup_out], B)
-            out = self.step(bases_p, quals_p, lengths_p,
-                            pre_trim_p, index_drop_p, dedup_p, valid)
-            out = {k: (np.asarray(v) if not isinstance(v, dict)
-                       else {kk: np.asarray(vv) for kk, vv in v.items()})
-                   for k, v in out.items()}
+                [batch.bases, batch.quals, batch.lengths, pre_trim,
+                 index_drop, dedup_out], B, target=opt.batchSize)
+            out_dev = self.step(bases_p, quals_p, lengths_p,
+                                pre_trim_p, index_drop_p, dedup_p, valid)
+            reads_read += B
+            return (out_dev, batch, B, index_drop, pre_trim, dedup_out)
+
+        pending = produce()
+        while pending is not None:
+            nxt = produce()  # dispatch k+1 before fetching k
+            out, batch, B, index_drop, pre_trim, dedup_out = pending
+            bases, quals_arr, lengths = batch.bases, batch.quals, batch.lengths
+            # ONE batched D2H fetch (per-buffer roundtrips cost ~3ms each
+            # over the device tunnel)
+            out = jax.device_get(out)
 
             self.pre_stats.add_batch(out["pre"])
             self.post_stats.add_batch(out["post"])
@@ -277,6 +305,7 @@ class SingleEndProcessor(BaseProcessor):
                 failed_writer.write(b"".join(failed_parts))
 
             reads_seen += B
+            pending = nxt
 
         reader.close()
         if out_writer:

@@ -25,6 +25,7 @@ pytestmark = pytest.mark.skipif(not os.path.exists(R1),
 def run_cli(tmpdir, args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disable axon TPU plugin
     env["JAX_PLATFORM_NAME"] = "cpu"
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")

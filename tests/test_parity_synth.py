@@ -35,6 +35,7 @@ def run_ref(workdir, args):
 def run_mine(workdir, args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disable axon TPU plugin
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run([sys.executable, "-m", "fastp_tpu"] + args,

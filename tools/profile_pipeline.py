@@ -81,7 +81,7 @@ def main():
         out = step(batch1.bases, batch1.quals, batch1.lengths,
                    batch2.bases, batch2.quals, batch2.lengths,
                    pre_trim, pre_trim, index_drop, dedup, valid)
-        out = jax.tree_util.tree_map(np.asarray, out)
+        out = jax.device_get(out)
         t["step"] += time.time() - t0
 
         t0 = time.time()
