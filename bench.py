@@ -16,7 +16,7 @@ import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 BENCH_DIR = "/tmp/fastp_bench"
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", "200000"))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", "2000000"))
 REF_BIN = "/tmp/refbuild/fastp"
 BASELINE_CACHE = os.path.join(ROOT, "tools", "bench_baseline.json")
 
@@ -30,7 +30,8 @@ ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
 
 def ensure_corpus():
     r1 = os.path.join(BENCH_DIR, "R1.fq")
-    if os.path.exists(r1) and os.path.getsize(r1) > N_PAIRS * 30:
+    # ~330 bytes/record: require the file to match the requested N_PAIRS
+    if os.path.exists(r1) and N_PAIRS * 250 < os.path.getsize(r1) < N_PAIRS * 450:
         return
     os.makedirs(BENCH_DIR, exist_ok=True)
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_synth.py"),

@@ -29,6 +29,7 @@ _BASE_CODE[ord("A")] = 7
 _BASE_CODE[ord("T")] = 222
 _BASE_CODE[ord("C")] = 74
 _BASE_CODE[ord("G")] = 31
+_BASE_CODE_F = _BASE_CODE.astype(np.float64)
 
 
 def _gen_primes(count: int) -> np.ndarray:
@@ -80,22 +81,34 @@ class Duplicate:
         self.primes = _gen_primes(buf_num * PRIME_ARRAY_LEN).astype(np.int64)
         self.total_reads = 0
         self.dup_reads = 0
+        self._gmat_cache = {}
+
+    def _prime_matrix(self, W: int) -> np.ndarray:
+        """[W, buf_num] float64 prime multipliers (cached per width)."""
+        cached = self._gmat_cache.get(W)
+        if cached is not None:
+            return cached
+        x = np.arange(W, dtype=np.int64)
+        G = np.empty((W, self.buf_num), np.float64)
+        for i in range(self.buf_num):
+            G[:, i] = self.primes[(x * self.buf_num + i) & self.offset_mask]
+        self._gmat_cache[W] = G
+        return G
 
     def _hash_positions(self, concat: np.ndarray, total_len: np.ndarray) -> np.ndarray:
         """concat: uint8[B, W] pair-concatenated sequences (0 pad);
-        total_len: int32[B]. Returns positions int64[buf_num, B]."""
+        total_len: int32[B]. Returns positions int64[buf_num, B].
+
+        Every term (code+pos)*prime is < 2^34 and the row sums stay < 2^44,
+        so the whole hash is exact in float64 — one BLAS dgemm instead of
+        per-buffer int64 broadcasting (~50x faster on the host)."""
         B, W = concat.shape
-        codes = _BASE_CODE[concat]  # int64 [B, W]
-        x = np.arange(W, dtype=np.int64)[None, :]
-        mask = x < total_len[:, None].astype(np.int64)
+        codes = _BASE_CODE_F[concat]  # float64 [B, W]
+        x = np.arange(W, dtype=np.float64)[None, :]
+        mask = np.arange(W)[None, :] < total_len[:, None]
         vals = (codes + x) * mask
-        positions = np.empty((self.buf_num, B), np.int64)
-        for i in range(self.buf_num):
-            pidx = (x[0] * self.buf_num + i) & self.offset_mask
-            g = self.primes[pidx]  # [W]
-            # sum of prime * (code + x); < 2^44, exact in int64
-            positions[i] = (vals * g[None, :]).sum(axis=1) % self.buf_len_bits
-        return positions
+        sums = vals @ self._prime_matrix(W)  # [B, buf_num], exact integers
+        return (sums.T.astype(np.int64)) % self.buf_len_bits
 
     def _apply(self, positions: np.ndarray) -> np.ndarray:
         """Test-and-set with first-wins order within the batch.

@@ -26,15 +26,126 @@ from .common import pos_iota, rc
 COMPLETE_COMPARE_REQUIRE = 50
 
 
-@partial(jax.jit, static_argnames=("diff_limit", "overlap_require", "diff_pct", "allow_gap"))
+def _onehot_acgtn(seq, length, dtype):
+    """[B, L] bytes -> [B, 5, L] one-hot over A/C/G/T/N, zero beyond
+    `length` and for any other byte (clean-alphabet batches only)."""
+    B, L = seq.shape
+    mask = (pos_iota(B, L) < length[:, None])
+    chans = jnp.stack([seq == 65, seq == 67, seq == 71, seq == 84, seq == 78],
+                      axis=1)
+    return (chans & mask[:, None, :]).astype(dtype)
+
+
+def _xcorr(lhs, rhs, pad_right: int):
+    """out[b, t] = sum_{c,i} lhs[b, c, i+t] * rhs[b, c, i] for t=0..W-1.
+
+    One grouped conv: each batch row is its own filter group, so the whole
+    offset sweep runs as a single MXU pass instead of n_off serialized
+    compare+reduce kernels."""
+    B, C, L = lhs.shape
+    lhsp = jnp.pad(lhs, ((0, 0), (0, 0), (0, pad_right)))
+    # feature-grouped conv: one group of C channels per batch row (XLA
+    # lowers this as depthwise; batch_group_count materializes all pairs)
+    out = jax.lax.conv_general_dilated(
+        lhsp.reshape(1, B * C, L + pad_right), rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=B,
+        preferred_element_type=jnp.float32)
+    return out[0]  # [B, W]
+
+
+def analyze_conv(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
+                 diff_pct: float):
+    """Batched OverlapAnalysis::analyze via one-hot cross-correlation.
+
+    EXACT for clean-alphabet (ACGTN) reads: with one-hot channels the match
+    count at offset t is an inner product, so mismatches = olen - matches.
+    The first-accept-wins order (all forward offsets, then backward) is
+    reproduced by an argmax over the concatenated accept matrix.
+    """
+    B, L = seq1.shape
+    len1 = len1.astype(jnp.int32)
+    len2 = len2.astype(jnp.int32)
+    rc2 = rc(seq2, len2)
+    n_off = max(L - overlap_require, 1)
+    dt = jnp.bfloat16 if L <= 256 else jnp.float32
+
+    oh1 = _onehot_acgtn(seq1, len1, dt)
+    oh2 = _onehot_acgtn(rc2, len2, dt)
+    k50 = min(COMPLETE_COMPARE_REQUIRE, L)
+
+    m_f = _xcorr(oh1, oh2, n_off)[:, :n_off]
+    m_b = _xcorr(oh2, oh1, n_off)[:, :n_off]
+    p50_f = _xcorr(oh1, oh2[:, :, :k50], n_off)[:, :n_off]
+    p50_b = _xcorr(oh2, oh1[:, :, :k50], n_off)[:, :n_off]
+
+    offs = jax.lax.broadcasted_iota(jnp.int32, (B, n_off), 1)
+
+    def judge(matches, pre50_matches, olen, active):
+        olen_c = jnp.maximum(olen, 0)
+        mm = olen_c - jnp.round(matches).astype(jnp.int32)
+        mm50 = jnp.minimum(olen_c, COMPLETE_COMPARE_REQUIRE) - \
+            jnp.round(pre50_matches).astype(jnp.int32)
+        limit = jnp.minimum(diff_limit,
+                            (olen_c.astype(jnp.float32) * diff_pct).astype(jnp.int32))
+        accept = active & (mm50 <= limit) & \
+            ((mm <= limit) | (olen_c > COMPLETE_COMPARE_REQUIRE))
+        return accept, mm
+
+    olen_f = jnp.minimum(len1[:, None] - offs, len2[:, None])
+    act_f = offs < (len1 - overlap_require)[:, None]
+    acc_f, mm_f = judge(m_f, p50_f, olen_f, act_f)
+
+    olen_b = jnp.minimum(len1[:, None], len2[:, None] - offs)
+    act_b = offs < (len2 - overlap_require)[:, None]
+    acc_b, mm_b = judge(m_b, p50_b, olen_b, act_b)
+
+    accept = jnp.concatenate([acc_f, acc_b], axis=1)
+    olen_all = jnp.concatenate([olen_f, olen_b], axis=1)
+    mm_all = jnp.concatenate([mm_f, mm_b], axis=1)
+    idx = jnp.argmax(accept, axis=1)
+    found = jnp.take_along_axis(accept, idx[:, None], axis=1)[:, 0]
+    offset = jnp.where(idx < n_off, idx, -(idx - n_off)).astype(jnp.int32)
+    ol = jnp.take_along_axis(olen_all, idx[:, None], axis=1)[:, 0]
+    diff = jnp.take_along_axis(mm_all, idx[:, None], axis=1)[:, 0]
+    return {
+        "overlapped": found,
+        "offset": jnp.where(found, offset, 0),
+        "overlap_len": jnp.where(found, ol, 0),
+        "diff": jnp.where(found, diff, 0),
+        "has_gap": jnp.zeros((B,), bool),
+    }
+
+
 def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
-            diff_pct: float, allow_gap: bool = False):
+            diff_pct: float, allow_gap: bool = False, clean=None):
     """Batched OverlapAnalysis::analyze.
 
     seq1/seq2: uint8[B, L] windowed reads; len1/len2: int32[B].
     Returns dict(overlapped bool[B], offset int32[B], overlap_len int32[B],
                  diff int32[B], has_gap bool[B]).
+
+    `clean` (traced bool scalar or None): when given and True at runtime,
+    the MXU cross-correlation path is used (exact for ACGTN-only batches);
+    dirty batches fall back to the byte-exact offset loop via lax.cond.
     """
+    if clean is not None and not allow_gap:
+        return jax.lax.cond(
+            clean,
+            lambda ops: analyze_conv(*ops, diff_limit, overlap_require, diff_pct),
+            lambda ops: _analyze_loop(*ops, diff_limit, overlap_require,
+                                      diff_pct, False),
+            (seq1, len1, seq2, len2))
+    return _analyze_loop(seq1, len1, seq2, len2, diff_limit, overlap_require,
+                         diff_pct, allow_gap)
+
+
+@partial(jax.jit, static_argnames=("diff_limit", "overlap_require", "diff_pct", "allow_gap"))
+def _analyze_loop(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
+                  diff_pct: float, allow_gap: bool = False):
+    """Sequential-offset formulation (byte-exact for ANY input bytes)."""
     B, L = seq1.shape
     len1 = len1.astype(jnp.int32)
     len2 = len2.astype(jnp.int32)

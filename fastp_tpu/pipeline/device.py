@@ -124,6 +124,21 @@ def _apply_polyx_maxlen(w_b, rlen, alive, cfg: DeviceCfg, is_r2: bool):
     return rlen, polyx_reads, polyx_bases
 
 
+def _slim_outputs(out, B: int, L: int):
+    """Downcast [B] int32 per-read outputs to int16 when the read width
+    guarantees they fit — halves the per-read D2H bytes over the tunnel.
+    Row-index lists stay int32 (they index up to B)."""
+    if L > 32000:
+        return out
+    keep_i32 = ("c1_rows", "c2_rows")
+    for k, v in list(out.items()):
+        if (not isinstance(v, dict) and k not in keep_i32
+                and getattr(v, "ndim", 0) == 1 and v.shape[0] == B
+                and v.dtype == jnp.int32):
+            out[k] = v.astype(jnp.int16)
+    return out
+
+
 def build_se_step(cfg: DeviceCfg):
     fview = _FilterCfgView(cfg)
 
@@ -141,7 +156,8 @@ def build_se_step(cfg: DeviceCfg):
         passed = (result == PASS_FILTER) & alive
         emit = passed & ~dedup_out
         post = stats_ops.stat_batch(w_b, w_q, rlen, emit)
-        return {
+        B, L = bases.shape
+        return _slim_outputs({
             "pre": pre, "post": post,
             "total_front": total_front,
             "rlen": rlen,
@@ -154,7 +170,7 @@ def build_se_step(cfg: DeviceCfg):
             "rlen_post_adapter": ad["rlen_post_adapter"],
             "polyx_reads": polyx_reads,
             "polyx_bases": polyx_bases,
-        }
+        }, B, L)
 
     return se_step
 
@@ -188,11 +204,24 @@ def build_pe_step(cfg: DeviceCfg):
         rlen1_pre_ovtrim = rlen1
         rlen2_pre_ovtrim = rlen2
 
+        # clean-alphabet flag: ACGTN/pad everywhere -> the overlap sweep can
+        # run as exact one-hot cross-correlations on the MXU; any other byte
+        # (lowercase, IUPAC) falls back to the byte-exact offset loop
+        def _acgtn(x):
+            return ((x == 0) | (x == 65) | (x == 67) | (x == 71)
+                    | (x == 84) | (x == 78))
+        import os
+        if os.environ.get("FASTP_TPU_NO_CONV"):
+            clean = None
+        else:
+            clean = jnp.all(_acgtn(b1)) & jnp.all(_acgtn(b2))
+
         need_ov = cfg.adapter_enabled or cfg.correction_enabled
         ov = overlap_ops.analyze(w1, rlen1, w2, rlen2,
                                  cfg.overlap_diff_limit, cfg.overlap_require,
                                  cfg.overlap_diff_pct,
-                                 cfg.allow_gap_overlap if need_ov else False)
+                                 cfg.allow_gap_overlap if need_ov else False,
+                                 clean=clean)
         ov_ok = ov["overlapped"] & both
 
         # insert size (reference: statInsertSize, src/peprocessor.cpp:698-711)
@@ -241,7 +270,8 @@ def build_pe_step(cfg: DeviceCfg):
         # adapter-trimmed (pre-polyX) reads (src/peprocessor.cpp:461-468)
         if cfg.overlapped_out:
             ov0 = overlap_ops.analyze(w1, rlen1, w2, rlen2,
-                                      cfg.overlap_diff_limit, cfg.overlap_require, 0.0)
+                                      cfg.overlap_diff_limit, cfg.overlap_require,
+                                      0.0, clean=clean)
             out["ov0_ok"] = ov0["overlapped"] & both
             out["ov0_offset"] = ov0["offset"]
             out["ov0_len"] = ov0["overlap_len"]
@@ -253,7 +283,7 @@ def build_pe_step(cfg: DeviceCfg):
         if cfg.merge_enabled:
             ovm = overlap_ops.analyze(w1, rlen1, w2, rlen2,
                                       cfg.overlap_diff_limit, cfg.overlap_require,
-                                      cfg.overlap_diff_pct, False)
+                                      cfg.overlap_diff_pct, False, clean=clean)
             ovm_ok = ovm["overlapped"] & both
             m_seq, m_qual, m_len, m_len1, m_len2 = merge_ops.merge_pairs(
                 w1, wq1, rlen1, w2, wq2, rlen2,
@@ -302,6 +332,6 @@ def build_pe_step(cfg: DeviceCfg):
             "isize_hist": isize_hist,
             "corr_matrix": corr_matrix,
         })
-        return out
+        return _slim_outputs(out, B, L)
 
     return pe_step

