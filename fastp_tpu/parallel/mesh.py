@@ -29,9 +29,14 @@ def _out_shardings_for(tree, mesh, batch: int):
     shard = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
 
+    shard1 = NamedSharding(mesh, P(None, "dp"))
+
     def assign(leaf):
-        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == batch:
+        nd = getattr(leaf, "ndim", 0)
+        if nd >= 1 and leaf.shape[0] == batch:
             return shard
+        if nd == 2 and leaf.shape[1] == batch:
+            return shard1  # packed [K, B] per-read matrices
         return repl
 
     return jax.tree_util.tree_map(assign, tree)

@@ -124,11 +124,108 @@ def _apply_polyx_maxlen(w_b, rlen, alive, cfg: DeviceCfg, is_r2: bool):
     return rlen, polyx_reads, polyx_bases
 
 
+import os as _os
+
+def pack_for_host(out, B: int, layout: dict):
+    """Merge the many per-read/stat outputs into a handful of dense buffers.
+
+    Each D2H buffer fetch costs ~3ms of tunnel latency regardless of size;
+    the unpacked tree has 80+ leaves (=~0.25s/batch in pure latency).  The
+    packed form ships ~6 buffers.  Key orders and stat shapes are recorded
+    into `layout` at trace time; the runner unpacks with unpack_from_host().
+    """
+    if _os.environ.get("FASTP_TPU_NO_PACK"):
+        layout["i16_keys"] = []
+        layout["i32_keys"] = []
+        layout["bool_keys"] = []
+        layout["stat_keys"] = []
+        layout["stats_shapes"] = {}
+        return out
+    # 0) sparse correction lists + scalar counters -> three buffers
+    if "c1_rows" in out:
+        out["_corr_i32"] = jnp.stack([out.pop(k) for k in
+                                      ("c1_rows", "c1_pos", "c2_rows", "c2_pos")])
+        out["_corr_u8"] = jnp.stack([out.pop(k) for k in
+                                     ("c1_base", "c1_qual", "c2_base", "c2_qual")])
+        out["_corr_n"] = jnp.stack([out.pop("c1_count"), out.pop("c2_count"),
+                                    out.pop("corrected_reads")])
+    # 1) [B] int16 per-read scalars -> one [K, B] matrix
+    i16_keys = sorted(k for k, v in out.items()
+                      if not isinstance(v, dict) and getattr(v, "ndim", 0) == 1
+                      and v.shape[0] == B and v.dtype == jnp.int16)
+    if i16_keys:
+        out["_i16"] = jnp.stack([out.pop(k) for k in i16_keys])
+    # 1b) [B] int32 scalars (long-read mode skips the i16 downcast)
+    i32_keys = sorted(k for k, v in out.items()
+                      if not isinstance(v, dict) and getattr(v, "ndim", 0) == 1
+                      and v.shape[0] == B and v.dtype == jnp.int32)
+    if i32_keys:
+        out["_i32"] = jnp.stack([out.pop(k) for k in i32_keys])
+    # 2) [B] bool flags -> one [K, B] matrix
+    b_keys = sorted(k for k, v in out.items()
+                    if not isinstance(v, dict) and getattr(v, "ndim", 0) == 1
+                    and v.shape[0] == B and v.dtype == jnp.bool_)
+    if b_keys:
+        out["_bool"] = jnp.stack([out.pop(k) for k in b_keys])
+    # 3) every stats dict -> one flat int32 vector (+ per-key shape table:
+    #    post_merged stats are wider than the others in merge mode)
+    stat_keys = sorted(k for k, v in out.items() if isinstance(v, dict))
+    stats_shapes = {}
+    for k in stat_keys:
+        d = out.pop(k)
+        dkeys = sorted(d)
+        stats_shapes[k] = [(dk, tuple(d[dk].shape)) for dk in dkeys]
+        out["_stats_" + k] = jnp.concatenate(
+            [d[dk].astype(jnp.int32).reshape(-1) for dk in dkeys])
+    layout["i16_keys"] = i16_keys
+    layout["i32_keys"] = i32_keys
+    layout["bool_keys"] = b_keys
+    layout["stat_keys"] = stat_keys
+    layout["stats_shapes"] = stats_shapes
+    return out
+
+
+def unpack_from_host(out: dict, layout: dict) -> dict:
+    """Inverse of pack_for_host on fetched numpy arrays."""
+    out = dict(out)
+    if "_corr_i32" in out:
+        m = out.pop("_corr_i32")
+        for j, k in enumerate(("c1_rows", "c1_pos", "c2_rows", "c2_pos")):
+            out[k] = m[j]
+        m = out.pop("_corr_u8")
+        for j, k in enumerate(("c1_base", "c1_qual", "c2_base", "c2_qual")):
+            out[k] = m[j]
+        m = out.pop("_corr_n")
+        out["c1_count"], out["c2_count"], out["corrected_reads"] = m[0], m[1], m[2]
+    for packed, lkey in (("_i16", "i16_keys"), ("_i32", "i32_keys")):
+        if packed in out:
+            m = out.pop(packed)
+            for j, k in enumerate(layout[lkey]):
+                out[k] = m[j]
+    if "_bool" in out:
+        m = out.pop("_bool")
+        for j, k in enumerate(layout["bool_keys"]):
+            out[k] = m[j]
+    for k in layout["stat_keys"]:
+        shapes = layout["stats_shapes"][k]
+        vec = out.pop("_stats_" + k)
+        d = {}
+        off = 0
+        for dk, shp in shapes:
+            n = 1
+            for s in shp:
+                n *= s
+            d[dk] = vec[off:off + n].reshape(shp)
+            off += n
+        out[k] = d
+    return out
+
+
 def _slim_outputs(out, B: int, L: int):
     """Downcast [B] int32 per-read outputs to int16 when the read width
     guarantees they fit — halves the per-read D2H bytes over the tunnel.
     Row-index lists stay int32 (they index up to B)."""
-    if L > 32000:
+    if L > 32000 or _os.environ.get("FASTP_TPU_NO_SLIM"):
         return out
     keep_i32 = ("c1_rows", "c2_rows")
     for k, v in list(out.items()):
@@ -141,6 +238,7 @@ def _slim_outputs(out, B: int, L: int):
 
 def build_se_step(cfg: DeviceCfg):
     fview = _FilterCfgView(cfg)
+    layout = {}
 
     @jax.jit
     def se_step(bases, quals, lengths, pre_trim, index_drop, dedup_out, valid):
@@ -157,7 +255,7 @@ def build_se_step(cfg: DeviceCfg):
         emit = passed & ~dedup_out
         post = stats_ops.stat_batch(w_b, w_q, rlen, emit)
         B, L = bases.shape
-        return _slim_outputs({
+        return pack_for_host(_slim_outputs({
             "pre": pre, "post": post,
             "total_front": total_front,
             "rlen": rlen,
@@ -170,13 +268,15 @@ def build_se_step(cfg: DeviceCfg):
             "rlen_post_adapter": ad["rlen_post_adapter"],
             "polyx_reads": polyx_reads,
             "polyx_bases": polyx_bases,
-        }, B, L)
+        }, B, L), B, layout)
 
+    se_step.layout = layout
     return se_step
 
 
 def build_pe_step(cfg: DeviceCfg):
     fview = _FilterCfgView(cfg)
+    layout = {}
 
     @jax.jit
     def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop,
@@ -332,6 +432,7 @@ def build_pe_step(cfg: DeviceCfg):
             "isize_hist": isize_hist,
             "corr_matrix": corr_matrix,
         })
-        return _slim_outputs(out, B, L)
+        return pack_for_host(_slim_outputs(out, B, L), B, layout)
 
+    pe_step.layout = layout
     return pe_step

@@ -76,7 +76,9 @@ class _InterleavedPairSource:
 class PairEndProcessor(BaseProcessor):
     def __init__(self, opt: Options):
         super().__init__(opt)
-        self.step = self._wrap_step(build_pe_step(self.cfg))
+        inner = build_pe_step(self.cfg)
+        self.step_layout = inner.layout
+        self.step = self._wrap_step(inner)
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         self.pre_stats1 = Stats(opt, False, self.width)
         self.post_stats1 = Stats(opt, False, self.width * 2)
@@ -130,6 +132,7 @@ class PairEndProcessor(BaseProcessor):
 
         pairs_seen = 0
         pairs_read = 0
+        self._last_reported = 0
         a1 = self.cfg.adapter_seq1
         a2 = self.cfg.adapter_seq2
         import jax
@@ -206,6 +209,11 @@ class PairEndProcessor(BaseProcessor):
             out_dev = self.step(b1p, q1p, l1p, b2p, q2p, l2p,
                                 pt1p, pt2p, idxp, dedp, valid)
             pairs_read += B
+            if opt.verbose and pairs_read >= self._last_reported + 1000000:
+                from ..utils.log import loginfo
+                self._last_reported = pairs_read
+                loginfo("Read1: loaded %dM reads" % (pairs_read // 1000000))
+                loginfo("Read2: loaded %dM reads" % (pairs_read // 1000000))
             return (out_dev, batch1, batch2, B, index_drop,
                     pre_trim1, pre_trim2, dedup_out)
 
@@ -214,9 +222,10 @@ class PairEndProcessor(BaseProcessor):
             nxt = produce()  # dispatch k+1 before fetching k
             (out, batch1, batch2, B, index_drop,
              pre_trim1, pre_trim2, dedup_out) = pending
-            # ONE batched D2H fetch: per-buffer np.asarray roundtrips cost
-            # ~3ms each over the device tunnel (80+ outputs = seconds/batch)
-            out = jax.device_get(out)
+            # ONE batched D2H fetch of the packed buffers (each buffer costs
+            # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
+            from .device import unpack_from_host
+            out = unpack_from_host(jax.device_get(out), self.step_layout)
 
             self.pre_stats1.add_batch(out["pre1"])
             self.pre_stats2.add_batch(out["pre2"])

@@ -136,7 +136,9 @@ class SingleEndProcessor(BaseProcessor):
 
     def __init__(self, opt: Options):
         super().__init__(opt)
-        self.step = self._wrap_step(build_se_step(self.cfg))
+        inner = build_se_step(self.cfg)
+        self.step_layout = inner.layout
+        self.step = self._wrap_step(inner)
         self.pre_stats = Stats(opt, False, self.width)
         self.post_stats = Stats(opt, False, self.width)
         self.filter_result = FilterResult(opt, False)
@@ -161,6 +163,7 @@ class SingleEndProcessor(BaseProcessor):
 
         reads_seen = 0
         reads_read = 0
+        self._last_reported = 0
         adapter_seq1 = self.cfg.adapter_seq1
         import jax
 
@@ -212,6 +215,10 @@ class SingleEndProcessor(BaseProcessor):
             out_dev = self.step(bases_p, quals_p, lengths_p,
                                 pre_trim_p, index_drop_p, dedup_p, valid)
             reads_read += B
+            if opt.verbose and reads_read >= self._last_reported + 1000000:
+                from ..utils.log import loginfo
+                self._last_reported = reads_read
+                loginfo("loaded %dM reads" % (reads_read // 1000000))
             return (out_dev, batch, B, index_drop, pre_trim, dedup_out)
 
         pending = produce()
@@ -219,9 +226,10 @@ class SingleEndProcessor(BaseProcessor):
             nxt = produce()  # dispatch k+1 before fetching k
             out, batch, B, index_drop, pre_trim, dedup_out = pending
             bases, quals_arr, lengths = batch.bases, batch.quals, batch.lengths
-            # ONE batched D2H fetch (per-buffer roundtrips cost ~3ms each
-            # over the device tunnel)
-            out = jax.device_get(out)
+            # ONE batched D2H fetch of the packed buffers (each buffer costs
+            # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
+            from .device import unpack_from_host
+            out = unpack_from_host(jax.device_get(out), self.step_layout)
 
             self.pre_stats.add_batch(out["pre"])
             self.post_stats.add_batch(out["post"])

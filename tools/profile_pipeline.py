@@ -35,7 +35,7 @@ def main():
     from fastp_tpu.io.fastq import open_batch_reader
     from fastp_tpu.io import native as native_mod
     from fastp_tpu.pipeline.static_cfg import device_cfg_from_options
-    from fastp_tpu.pipeline.device import build_pe_step
+    from fastp_tpu.pipeline.device import build_pe_step, unpack_from_host
     import jax
 
     opt = Options()
@@ -81,7 +81,7 @@ def main():
         out = step(batch1.bases, batch1.quals, batch1.lengths,
                    batch2.bases, batch2.quals, batch2.lengths,
                    pre_trim, pre_trim, index_drop, dedup, valid)
-        out = jax.device_get(out)
+        out = unpack_from_host(jax.device_get(out), step.layout)
         t["step"] += time.time() - t0
 
         t0 = time.time()
