@@ -66,6 +66,10 @@ def _bind(lib):
         _u8p, _i64p, _i32p, _u8p, _i64p, _i32p,
         _u8p, _u8p, _i32p, _i32p, _u8p,
         ctypes.c_int64, ctypes.c_int64, _u8p]
+    lib.pack_bq.restype = ctypes.c_int64
+    lib.pack_bq.argtypes = [
+        _u8p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
+        _i32p, _u8p, _u8p]
     lib.known_adapter_scan.restype = ctypes.c_int32
     lib.known_adapter_scan.argtypes = [
         _u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
@@ -128,6 +132,33 @@ def tokenize(buf: np.ndarray, is_final: bool, max_records: int, width: int,
     return (int(n), bases, quals, lengths, name_off, name_len,
             strand_off, strand_len, int(consumed.value),
             bool(stopped.value), int(need_wider.value))
+
+
+PACK_EXC_CAP = 2048
+
+
+def pack_bq(bases: np.ndarray, quals: np.ndarray):
+    """Pack [B, W] base/qual arrays into one [B, W] byte array for upload.
+
+    Returns (packed, exc_idx[i32 E], exc_base[u8 E], exc_qual[u8 E], n_exc)
+    or None when the input has too many non-ACGTN/odd-qual bytes (caller
+    uses the raw two-tensor path)."""
+    lib = get_lib()
+    assert lib is not None
+    packed = np.empty_like(bases)
+    exc_idx = np.zeros(PACK_EXC_CAP, np.int32)
+    exc_base = np.zeros(PACK_EXC_CAP, np.uint8)
+    exc_qual = np.zeros(PACK_EXC_CAP, np.uint8)
+    n = lib.pack_bq(np.ascontiguousarray(bases),
+                    np.ascontiguousarray(quals),
+                    bases.size, packed, PACK_EXC_CAP,
+                    exc_idx, exc_base, exc_qual)
+    if n < 0:
+        return None
+    # sentinel for unused slots: out-of-range index (device scatter drops)
+    if n < PACK_EXC_CAP:
+        exc_idx[n:] = bases.size
+    return packed, exc_idx, exc_base, exc_qual, int(n)
 
 
 def serialize(namebuf, name_off, name_len, strandbuf, strand_off, strand_len,

@@ -148,6 +148,44 @@ int64_t fq_serialize(const uint8_t* namebuf,
     return o - out;
 }
 
+// Pack (base, qual) byte pairs into one byte per position for device
+// upload: packed = (qual-33)*5 + code with code A=0 C=1 G=2 T=3 N=4;
+// pad positions (base == 0) become 255.  Bytes outside {ACGTN, qual in
+// [33, 83]} are recorded as exceptions (flat index, base, qual) that the
+// device scatters over the unpacked tensors, keeping the path byte-exact
+// for ANY input.  Returns the exception count, or -1 if it exceeds
+// exc_cap (caller falls back to the raw two-tensor upload).
+int64_t pack_bq(const uint8_t* bases, const uint8_t* quals, int64_t n,
+                uint8_t* packed, int64_t exc_cap,
+                int32_t* exc_idx, uint8_t* exc_base, uint8_t* exc_qual) {
+    static int8_t code[256];
+    static bool init = false;
+    if (!init) {
+        memset(code, -1, sizeof(code));
+        code[(int)'A'] = 0; code[(int)'C'] = 1; code[(int)'G'] = 2;
+        code[(int)'T'] = 3; code[(int)'N'] = 4;
+        init = true;
+    }
+    int64_t n_exc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t b = bases[i];
+        if (b == 0) { packed[i] = 255; continue; }
+        int c = code[b];
+        int q = (int)quals[i] - 33;
+        if (c < 0 || q < 0 || q > 50) {
+            if (n_exc >= exc_cap) return -1;
+            exc_idx[n_exc] = (int32_t)i;
+            exc_base[n_exc] = b;
+            exc_qual[n_exc] = quals[i];
+            n_exc++;
+            packed[i] = 0;  // placeholder ('A', q33); scatter overwrites
+            continue;
+        }
+        packed[i] = (uint8_t)(q * 5 + c);
+    }
+    return n_exc;
+}
+
 // Known-adapter scan (reference: src/evaluator.cpp:207-293).
 // adapters: concatenated adapter bytes; aoff/alen arrays of n_ad entries
 // (lexicographically sorted, matching std::map iteration).

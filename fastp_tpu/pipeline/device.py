@@ -236,11 +236,10 @@ def _slim_outputs(out, B: int, L: int):
     return out
 
 
-def build_se_step(cfg: DeviceCfg):
+def build_se_step(cfg: DeviceCfg, packed: bool = False):
     fview = _FilterCfgView(cfg)
     layout = {}
 
-    @jax.jit
     def se_step(bases, quals, lengths, pre_trim, index_drop, dedup_out, valid):
         pre = stats_ops.stat_batch(bases, quals, lengths, valid)
         w_b, w_q, rlen, alive, front_trimmed, total_front = _trim_one_end(
@@ -270,15 +269,36 @@ def build_se_step(cfg: DeviceCfg):
             "polyx_bases": polyx_bases,
         }, B, L), B, layout)
 
-    se_step.layout = layout
-    return se_step
+    if packed:
+        def packed_step(p, ei, eb, eq, lengths, pre_trim, index_drop,
+                        dedup_out, valid):
+            bases, quals = _unpack_bq(p, ei, eb, eq)
+            return se_step(bases, quals, lengths, pre_trim, index_drop,
+                           dedup_out, valid)
+        step = jax.jit(packed_step)
+    else:
+        step = jax.jit(se_step)
+    step.layout = layout
+    return step
 
 
-def build_pe_step(cfg: DeviceCfg):
+def _unpack_bq(p, idx, base, qual):
+    """Invert the host packer (native pack_bq): packed = (q-33)*5 + code,
+    255 = pad; exceptions scatter raw (base, qual) bytes back in."""
+    B, W = p.shape
+    is_pad = p == 255
+    q = jnp.where(is_pad, 0, (p // 5) + 33).astype(jnp.uint8)
+    lut = jnp.array([65, 67, 71, 84, 78], jnp.uint8)
+    b = jnp.where(is_pad, 0, lut[(p % 5).astype(jnp.int32)])
+    b = b.reshape(-1).at[idx].set(base, mode="drop").reshape(B, W)
+    q = q.reshape(-1).at[idx].set(qual, mode="drop").reshape(B, W)
+    return b, q
+
+
+def build_pe_step(cfg: DeviceCfg, packed: bool = False):
     fview = _FilterCfgView(cfg)
     layout = {}
 
-    @jax.jit
     def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop,
                 dedup_out, valid):
         B, L = b1.shape
@@ -434,5 +454,15 @@ def build_pe_step(cfg: DeviceCfg):
         })
         return pack_for_host(_slim_outputs(out, B, L), B, layout)
 
-    pe_step.layout = layout
-    return pe_step
+    if packed:
+        def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2,
+                        pre_trim1, pre_trim2, index_drop, dedup_out, valid):
+            b1, q1 = _unpack_bq(p1, e1i, e1b, e1q)
+            b2, q2 = _unpack_bq(p2, e2i, e2b, e2q)
+            return pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
+                           index_drop, dedup_out, valid)
+        step = jax.jit(packed_step)
+    else:
+        step = jax.jit(pe_step)
+    step.layout = layout
+    return step

@@ -79,6 +79,7 @@ class PairEndProcessor(BaseProcessor):
         inner = build_pe_step(self.cfg)
         self.step_layout = inner.layout
         self.step = self._wrap_step(inner)
+        self._packed_step = None
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         self.pre_stats1 = Stats(opt, False, self.width)
         self.post_stats1 = Stats(opt, False, self.width * 2)
@@ -206,8 +207,8 @@ class PairEndProcessor(BaseProcessor):
                 self._pad_batch([b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
                                  index_drop, dedup_out], B,
                                 target=opt.batchSize)
-            out_dev = self.step(b1p, q1p, l1p, b2p, q2p, l2p,
-                                pt1p, pt2p, idxp, dedp, valid)
+            out_dev = self._dispatch_pe(b1p, q1p, l1p, b2p, q2p, l2p,
+                                        pt1p, pt2p, idxp, dedp, valid)
             pairs_read += B
             if opt.verbose and pairs_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
@@ -469,6 +470,22 @@ class PairEndProcessor(BaseProcessor):
             split.close()
 
         return self._finish()
+
+    def _dispatch_pe(self, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
+                     idxp, dedp, valid):
+        pk1 = self._try_pack_inputs(b1p, q1p)
+        pk2 = self._try_pack_inputs(b2p, q2p) if pk1 is not None else None
+        if pk1 is None or pk2 is None:
+            return self.step(b1p, q1p, l1p, b2p, q2p, l2p,
+                             pt1p, pt2p, idxp, dedp, valid)
+        if self._packed_step is None:
+            inner = build_pe_step(self.cfg, packed=True)
+            self.step_layout = inner.layout
+            self._packed_step = self._wrap_step(inner)
+        p1, e1i, e1b, e1q = pk1
+        p2, e2i, e2b, e2q = pk2
+        return self._packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
+                                 l1p, l2p, pt1p, pt2p, idxp, dedp, valid)
 
     def _stat_post1_read(self, seq: bytes, qual: bytes):
         """Single-read post-stats accumulation for includeUnmerged mode."""

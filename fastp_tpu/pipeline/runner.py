@@ -97,6 +97,22 @@ class BaseProcessor:
         from ..parallel.mesh import build_sharded_step
         return build_sharded_step(step_fn, self.mesh, 0)
 
+    def _try_pack_inputs(self, bases, quals):
+        """(packed, exc_idx, exc_base, exc_qual) or None.
+
+        Packing halves the dominant H2D bytes (base+qual -> one byte per
+        position); exceptional bytes ride along as an exact scatter list."""
+        import os
+        if os.environ.get("FASTP_TPU_NO_INPUT_PACK"):
+            return None
+        from ..io import native as native_mod
+        if native_mod.get_lib() is None:
+            return None
+        res = native_mod.pack_bq(bases, quals)
+        if res is None:
+            return None
+        return res[:4]
+
     def _pad_batch(self, arrays, B, target=None):
         """Pad batch-major arrays to a fixed target size (and a multiple of
         the device count) with a valid mask.  Keeping every batch the same
@@ -139,11 +155,26 @@ class SingleEndProcessor(BaseProcessor):
         inner = build_se_step(self.cfg)
         self.step_layout = inner.layout
         self.step = self._wrap_step(inner)
+        self._packed_step = None
         self.pre_stats = Stats(opt, False, self.width)
         self.post_stats = Stats(opt, False, self.width)
         self.filter_result = FilterResult(opt, False)
         self.overrep_pre = _OverRepCounter(self.pre_stats, opt)
         self.overrep_post = _OverRepCounter(self.post_stats, opt)
+
+    def _dispatch(self, bases_p, quals_p, lengths_p, pre_trim_p,
+                  index_drop_p, dedup_p, valid):
+        pk = self._try_pack_inputs(bases_p, quals_p)
+        if pk is None:
+            return self.step(bases_p, quals_p, lengths_p, pre_trim_p,
+                             index_drop_p, dedup_p, valid)
+        if self._packed_step is None:
+            inner = build_se_step(self.cfg, packed=True)
+            self.step_layout = inner.layout
+            self._packed_step = self._wrap_step(inner)
+        p, ei, eb, eq = pk
+        return self._packed_step(p, ei, eb, eq, lengths_p, pre_trim_p,
+                                 index_drop_p, dedup_p, valid)
 
     def process(self) -> Dict:
         opt = self.opt
@@ -212,8 +243,8 @@ class SingleEndProcessor(BaseProcessor):
              dedup_p), valid = self._pad_batch(
                 [batch.bases, batch.quals, batch.lengths, pre_trim,
                  index_drop, dedup_out], B, target=opt.batchSize)
-            out_dev = self.step(bases_p, quals_p, lengths_p,
-                                pre_trim_p, index_drop_p, dedup_p, valid)
+            out_dev = self._dispatch(bases_p, quals_p, lengths_p,
+                                     pre_trim_p, index_drop_p, dedup_p, valid)
             reads_read += B
             if opt.verbose and reads_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
