@@ -40,23 +40,27 @@ def ensure_corpus():
                    check=True)
 
 
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
 def measure_reference() -> float:
-    """fastp -w 16 reads/sec on this host, cached."""
+    """fastp -w 16 reads/sec on this host (best of REPEATS), cached."""
     if os.path.exists(REF_BIN):
         workdir = os.path.join(BENCH_DIR, "ref_run")
         os.makedirs(workdir, exist_ok=True)
-        t0 = time.time()
-        subprocess.run([REF_BIN] + ARGS + ["-w", "16"], cwd=workdir,
-                       check=True, capture_output=True, timeout=3600)
-        dt = time.time() - t0
-        rps = 2 * N_PAIRS / dt
+        best = 0.0
+        for _ in range(REPEATS):
+            t0 = time.time()
+            subprocess.run([REF_BIN] + ARGS + ["-w", "16"], cwd=workdir,
+                           check=True, capture_output=True, timeout=3600)
+            best = max(best, 2 * N_PAIRS / (time.time() - t0))
         try:
             with open(BASELINE_CACHE, "w") as f:
-                json.dump({"fastp_w16_reads_per_sec": rps, "pairs": N_PAIRS,
+                json.dump({"fastp_w16_reads_per_sec": best, "pairs": N_PAIRS,
                            "host_cores": os.cpu_count()}, f)
         except OSError:
             pass
-        return rps
+        return best
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)["fastp_w16_reads_per_sec"]
@@ -64,17 +68,22 @@ def measure_reference() -> float:
 
 
 def measure_ours() -> float:
+    """Best of REPEATS runs: the device tunnel's throughput and the TPU
+    server's program-load time fluctuate heavily run to run; best-of-N
+    estimates the steady environment for both sides equally."""
     workdir = os.path.join(BENCH_DIR, "tpu_run")
     os.makedirs(workdir, exist_ok=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
-    t0 = time.time()
-    subprocess.run([sys.executable, "-m", "fastp_tpu"] + ARGS +
-                   ["--batch_size", "16384"],
-                   cwd=workdir, env=env, check=True, capture_output=True,
-                   timeout=7200)
-    dt = time.time() - t0
-    return 2 * N_PAIRS / dt
+    best = 0.0
+    for _ in range(REPEATS):
+        t0 = time.time()
+        subprocess.run([sys.executable, "-m", "fastp_tpu"] + ARGS +
+                       ["--batch_size", "16384"],
+                       cwd=workdir, env=env, check=True, capture_output=True,
+                       timeout=7200)
+        best = max(best, 2 * N_PAIRS / (time.time() - t0))
+    return best
 
 
 def main():

@@ -8,6 +8,7 @@ the joined argv, as in the reference.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -397,10 +398,22 @@ def main(argv=None):
 
     from .pipeline.runner import SingleEndProcessor
     from .pipeline.pe_runner import PairEndProcessor
-    if opt.isPaired():
-        PairEndProcessor(opt).process()
+    from .parallel.mesh import init_distributed
+    init_distributed()  # no-op unless JAX_COORDINATOR_ADDRESS is set
+
+    import contextlib
+    prof_dir = os.environ.get("FASTP_TPU_PROFILE")
+    if prof_dir:
+        import jax
+        prof_ctx = jax.profiler.trace(prof_dir)
+        sys.stderr.write("Writing xprof trace to %s\n" % prof_dir)
     else:
-        SingleEndProcessor(opt).process()
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        if opt.isPaired():
+            PairEndProcessor(opt).process()
+        else:
+            SingleEndProcessor(opt).process()
 
     t2 = time.time()
     sys.stderr.write("\nJSON report: %s\n" % opt.jsonFile)

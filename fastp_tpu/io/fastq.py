@@ -423,10 +423,18 @@ def open_batch_reader(filename: str, phred64: bool = False):
 
 
 class OutputWriter:
-    """Buffered plain/gzip writer (reference: src/writer.cpp:98-133)."""
+    """Buffered plain/gzip writer with an async flush thread.
+
+    Mirrors the reference's per-output WriterThread (src/writerthread.cpp):
+    gzip compression (zlib releases the GIL) and disk writes happen on a
+    dedicated thread, overlapping with batch processing.  A bounded queue
+    provides the same credit-style backpressure as the reference's
+    PACK_IN_MEM_LIMIT.  Buffered semantics match src/writer.cpp:98-133
+    (one gzip member per flushed buffer, like the libdeflate writer).
+    """
 
     def __init__(self, filename: str, compression: int = 4, to_stdout: bool = False,
-                 buffer_size: int = 1 << 22):
+                 buffer_size: int = 1 << 22, async_io: bool = True):
         self.filename = filename
         self._stdout = to_stdout
         self._zipped = filename.endswith(".gz") and not to_stdout
@@ -435,8 +443,37 @@ class OutputWriter:
         self._buf: List[bytes] = []
         self._buflen = 0
         self._bufsize = buffer_size
+        self._q = None
+        self._thr = None
+        self._err = None
+        if async_io and not to_stdout:
+            import queue
+            import threading
+            self._q = queue.Queue(maxsize=16)
+            self._thr = threading.Thread(target=self._worker, daemon=True)
+            self._thr.start()
+
+    def _emit(self, blob: bytes):
+        try:
+            if self._zipped:
+                co = zlib.compressobj(self._level, zlib.DEFLATED, 16 + 15)
+                self._fh.write(co.compress(blob))
+                self._fh.write(co.flush())
+            else:
+                self._fh.write(blob)
+        except Exception as e:  # surfaced at the next write()/close()
+            self._err = e
+
+    def _worker(self):
+        while True:
+            blob = self._q.get()
+            if blob is None:
+                break
+            self._emit(blob)
 
     def write(self, data: bytes):
+        if self._err is not None:
+            raise self._err
         if not data:
             return
         self._buf.append(data)
@@ -450,16 +487,18 @@ class OutputWriter:
         blob = b"".join(self._buf)
         self._buf = []
         self._buflen = 0
-        if self._zipped:
-            # one gzip member per flushed buffer, like the libdeflate writer
-            co = zlib.compressobj(self._level, zlib.DEFLATED, 16 + 15)
-            self._fh.write(co.compress(blob))
-            self._fh.write(co.flush())
+        if self._q is not None:
+            self._q.put(blob)
         else:
-            self._fh.write(blob)
+            self._emit(blob)
 
     def close(self):
         self.flush()
+        if self._q is not None:
+            self._q.put(None)
+            self._thr.join()
+        if self._err is not None:
+            raise self._err
         if not self._stdout:
             self._fh.close()
         else:

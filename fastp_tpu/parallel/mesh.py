@@ -16,6 +16,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed():
+    """Multi-host initialization (call once per process before device use).
+
+    The reference scales with threads in one process; the TPU-native
+    equivalent is one process per host with jax.distributed handling the
+    coordination plane.  Controlled by standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or the
+    TPU metadata environment; a no-op for single-host runs.
+    """
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        return True
+    return False
+
+
 def make_mesh(n_devices: int = 0) -> Mesh:
     devs = jax.devices()
     if n_devices and n_devices < len(devs):
