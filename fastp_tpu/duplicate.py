@@ -113,6 +113,15 @@ class Duplicate:
     def _apply(self, positions: np.ndarray) -> np.ndarray:
         """Test-and-set with first-wins order within the batch.
         Returns isDup bool[B] (last buffer's verdict, per the reference)."""
+        from .io import native as native_mod
+        lib = native_mod.get_lib()
+        if lib is not None:
+            B = positions.shape[1]
+            is_dup = np.zeros(B, np.uint8)
+            for i in range(self.buf_num):
+                lib.dup_apply(self.bufs[i],
+                              np.ascontiguousarray(positions[i]), B, is_dup)
+            return is_dup.astype(bool)
         B = positions.shape[1]
         is_dup = np.zeros(B, bool)
         for i in range(self.buf_num):
@@ -132,8 +141,20 @@ class Duplicate:
             np.bitwise_or.at(self.bufs[i], byte_pos, bit)
         return is_dup
 
+    def _native_hash(self, b1, l1, b2=None, l2=None):
+        """C++ single-pass hash (no concat materialization); falls back to
+        the BLAS float64 path when the native library is unavailable."""
+        from .io import native as native_mod
+        if native_mod.get_lib() is None:
+            return None
+        return native_mod.dup_hash(b1, l1, b2, l2, self.primes,
+                                   self.offset_mask, self.buf_num,
+                                   self.buf_len_bits)
+
     def check_batch_se(self, bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-        pos = self._hash_positions(bases, lengths)
+        pos = self._native_hash(bases, lengths)
+        if pos is None:
+            pos = self._hash_positions(bases, lengths)
         dup = self._apply(pos)
         self.total_reads += len(lengths)
         self.dup_reads += int(dup.sum())
@@ -144,16 +165,18 @@ class Duplicate:
         """Pair hash = seq2intvector(r1) then seq2intvector(r2, posOffset=len1),
         equivalent to hashing the concatenated pair."""
         B, L = b1.shape
-        W = 2 * L
-        concat = np.zeros((B, W), np.uint8)
-        concat[:, :L] = b1
-        # place r2 at column offset len1 per row
-        x = np.arange(L)
-        for_rows = l1[:, None] + x[None, :]
-        np.put_along_axis(concat, np.minimum(for_rows, W - 1), np.where(
-            x[None, :] < l2[:, None], b2, 0), axis=1)
-        total = (l1 + l2).astype(np.int32)
-        pos = self._hash_positions(concat, total)
+        pos = self._native_hash(b1, l1, b2, l2)
+        if pos is None:
+            W = 2 * L
+            concat = np.zeros((B, W), np.uint8)
+            concat[:, :L] = b1
+            # place r2 at column offset len1 per row
+            x = np.arange(L)
+            for_rows = l1[:, None] + x[None, :]
+            np.put_along_axis(concat, np.minimum(for_rows, W - 1), np.where(
+                x[None, :] < l2[:, None], b2, 0), axis=1)
+            total = (l1 + l2).astype(np.int32)
+            pos = self._hash_positions(concat, total)
         dup = self._apply(pos)
         self.total_reads += B
         self.dup_reads += int(dup.sum())

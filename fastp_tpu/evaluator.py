@@ -217,6 +217,182 @@ class Evaluator:
 
     # -- adapter detection (reference: src/evaluator.cpp:207-526) ----------
     def eval_adapter_and_read_num(self, is_r2: bool) -> Tuple[str, int]:
+        """Native array path when the C++ helpers are available (the
+        256K-read scans are far too slow in per-record Python)."""
+        from .io import native as native_mod
+        if native_mod.get_lib() is not None:
+            return self._eval_adapter_and_read_num_native(is_r2)
+        return self._eval_adapter_and_read_num_py(is_r2)
+
+    def _eval_adapter_and_read_num_native(self, is_r2: bool) -> Tuple[str, int]:
+        import os
+        from .io import native as native_mod
+        from .io.fastq import ArrayFastqReader
+        filename = self.opt.in2 if is_r2 else self.opt.in1
+        READ_LIMIT = 256 * 1024
+        BASE_LIMIT = 151 * READ_LIMIT
+        reader = ArrayFastqReader(filename)
+        chunks = []
+        records = 0
+        width = 192
+        reached_eof = False
+        while records < READ_LIMIT:
+            bt = reader.read_batch(min(65536, READ_LIMIT - records), width)
+            if bt is None:
+                reached_eof = True
+                break
+            width = max(width, bt.width)
+            chunks.append(bt)
+            records += bt.n
+            if sum(int(c.lengths.sum()) for c in chunks) >= BASE_LIMIT:
+                break
+        reader.close()
+        if records == 0:
+            return "", 0
+        bases = np.zeros((records, width), np.uint8)
+        lengths = np.zeros(records, np.int32)
+        rec_bytes = np.zeros(records, np.int64)
+        off = 0
+        for c in chunks:
+            bases[off:off + c.n, :c.width] = c.bases
+            lengths[off:off + c.n] = c.lengths
+            rec_bytes[off:off + c.n] = (c.name_len.astype(np.int64)
+                                        + c.strand_len
+                                        + 2 * c.lengths + 4)
+            off += c.n
+        # replicate the reference's per-read stop condition exactly:
+        # keep read i iff i < READ_LIMIT and bases-before(i) < BASE_LIMIT
+        cum_before = np.concatenate([[0], np.cumsum(lengths[:-1], dtype=np.int64)])
+        keep = int(np.searchsorted(cum_before, BASE_LIMIT, "left"))
+        if keep < records:
+            reached_eof = False
+            bases = bases[:keep]
+            lengths = lengths[:keep]
+            rec_bytes = rec_bytes[:keep]
+            records = keep
+
+        if reached_eof:
+            read_num = records
+        elif records > 1:
+            total = os.path.getsize(filename)
+            bytes_per_read = float(rec_bytes[1:].mean())
+            read_num = int(total * 1.01 / bytes_per_read)
+        else:
+            read_num = records
+
+        if records < 10000:
+            return "", read_num
+
+        lib = native_mod.get_lib()
+        known = get_known_adapters()
+        adapters = sorted(known)  # std::map order
+        blob = b"".join(a.encode() for a in adapters)
+        alens = np.array([len(a) for a in adapters], np.int32)
+        aoffs = np.zeros(len(adapters), np.int64)
+        np.cumsum(alens[:-1], out=aoffs[1:])
+        counts_out = np.zeros(len(adapters), np.int64)
+        mism_out = np.zeros(len(adapters), np.int64)
+        import ctypes
+        checked = ctypes.c_int64(0)
+        best_i = lib.known_adapter_scan(
+            bases, lengths, records, width,
+            np.frombuffer(blob, np.uint8), aoffs, alens, len(adapters),
+            counts_out, mism_out, ctypes.byref(checked))
+        checked_reads = int(checked.value)
+        if best_i >= 0:
+            max_count = int(counts_out[best_i])
+            best = adapters[best_i]
+            if max_count > checked_reads // 50 or (
+                    max_count > checked_reads // 200
+                    and int(mism_out[best_i]) < checked_reads):
+                sys.stderr.write(known[best] + "\n" + best + "\n")
+                return best, read_num
+
+        shift_tail = max(1, self.opt.trim.tail1)
+        keylen = 10
+        size = 1 << (keylen * 2)
+        counts = np.zeros(size, np.uint32)
+        lib.seed_histogram(bases, lengths, records, width, shift_tail, counts)
+        counts[0] = 0
+        adapter = self._pick_top_seed_adapter(
+            counts, size, keylen,
+            lambda seed: self._get_adapter_with_seed_native(
+                seed, bases, lengths, keylen, shift_tail))
+        return adapter, read_num
+
+    def _pick_top_seed_adapter(self, counts, size, keylen, seed_extend):
+        """Candidate filtering + top-10 fold test
+        (reference: src/evaluator.cpp:390-439)."""
+        keys_all = np.arange(size, dtype=np.int64)
+        atcg = np.zeros((4, size), np.int16)
+        for i in range(keylen):
+            b = (keys_all >> (i * 2)) & 0x03
+            for base in range(4):
+                atcg[base] += (b == base)
+        low_complexity = (atcg >= keylen - 4).any(axis=0)
+        too_gc = (atcg[2] + atcg[3]) >= keylen - 2
+        starts_gggg = (keys_all >> 12) == 0xFF
+        candidate = ~(low_complexity | too_gc | starts_gggg)
+        total = int(counts[candidate].sum())
+
+        cand_keys = keys_all[candidate]
+        cand_counts = counts[candidate].astype(np.int64)
+        order = np.lexsort((cand_keys, cand_counts))[::-1]
+        topkeys = cand_keys[order[:10]]
+
+        FOLD_THRESHOLD = 20
+        for key in topkeys:
+            key = int(key)
+            if key == 0:
+                continue
+            seq = _int2seq(key, keylen)
+            count = int(counts[key])
+            if count < 10 or count * size < total * FOLD_THRESHOLD:
+                break
+            diff = sum(1 for s_ in range(len(seq) - 1) if seq[s_] != seq[s_ + 1])
+            if diff < 3:
+                continue
+            adapter = seed_extend(key)
+            if adapter:
+                return adapter
+        return ""
+
+    def _get_adapter_with_seed_native(self, seed: int, bases, lengths,
+                                      keylen: int, shift_tail: int) -> str:
+        from .io import native as native_mod
+        lib = native_mod.get_lib()
+        CAP = 200000
+        hit_read = np.zeros(CAP, np.int32)
+        hit_pos = np.zeros(CAP, np.int32)
+        n = int(lib.collect_seed_hits(bases, lengths, len(lengths),
+                                      bases.shape[1], seed, shift_tail,
+                                      500, CAP, hit_read, hit_pos))
+        fwd = NucleotideTree()
+        bwd = NucleotideTree()
+        for k in range(n):
+            r = int(hit_read[k])
+            p = int(hit_pos[k])
+            rlen = int(lengths[r])
+            row = bases[r]
+            fwd.add_seq(row[p + keylen: rlen - shift_tail].tobytes())
+            bwd.add_seq(row[:p].tobytes()[::-1])
+        fpath, fwd_ok = fwd.dominant_path()
+        bpath, bwd_ok = bwd.dominant_path()
+        reached_leaf = fwd_ok and bwd_ok
+        adapter = bpath[::-1] + _int2seq(seed, keylen) + fpath
+        if len(adapter) > 60:
+            adapter = adapter[:60]
+        matched = self._match_known_adapter(adapter)
+        if matched:
+            known = get_known_adapters()
+            sys.stderr.write(known[matched] + "\n" + matched + "\n")
+            return matched
+        if reached_leaf:
+            sys.stderr.write(adapter + "\n")
+            return adapter
+        return ""
+
+    def _eval_adapter_and_read_num_py(self, is_r2: bool) -> Tuple[str, int]:
         filename = self.opt.in2 if is_r2 else self.opt.in1
         reader = FastqReader(filename)
         READ_LIMIT = 256 * 1024

@@ -66,6 +66,13 @@ def _bind(lib):
         _u8p, _i64p, _i32p, _u8p, _i64p, _i32p,
         _u8p, _u8p, _i32p, _i32p, _u8p,
         ctypes.c_int64, ctypes.c_int64, _u8p]
+    lib.dup_hash.restype = None
+    lib.dup_hash.argtypes = [
+        _u8p, _i32p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        _i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, _i64p]
+    lib.dup_apply.restype = None
+    lib.dup_apply.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p]
     lib.pack_bq.restype = ctypes.c_int64
     lib.pack_bq.argtypes = [
         _u8p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -78,6 +85,11 @@ def _bind(lib):
     lib.seed_histogram.restype = None
     lib.seed_histogram.argtypes = [
         _u8p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, _u32p]
+    lib.collect_seed_hits.restype = ctypes.c_int64
+    lib.collect_seed_hits.argtypes = [
+        _u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        _i32p, _i32p]
     return lib
 
 
@@ -132,6 +144,29 @@ def tokenize(buf: np.ndarray, is_final: bool, max_records: int, width: int,
     return (int(n), bases, quals, lengths, name_off, name_len,
             strand_off, strand_len, int(consumed.value),
             bool(stopped.value), int(need_wider.value))
+
+
+def dup_hash(b1, l1, b2, l2, primes, offset_mask: int, buf_num: int,
+             buf_len_bits: int):
+    """Bloom-filter hash positions [buf_num, B] (b2/l2 None for SE)."""
+    lib = get_lib()
+    assert lib is not None
+    B, W = b1.shape
+    out = np.empty((buf_num, B), np.int64)
+    b1c = np.ascontiguousarray(b1)
+    l1c = np.ascontiguousarray(l1, dtype=np.int32)
+    if b2 is None:
+        b2p = None
+        l2p = None
+    else:
+        b2c = np.ascontiguousarray(b2)
+        l2c = np.ascontiguousarray(l2, dtype=np.int32)
+        b2p = b2c.ctypes.data_as(ctypes.c_void_p)
+        l2p = l2c.ctypes.data_as(ctypes.c_void_p)
+    lib.dup_hash(b1c, l1c, b2p, l2p, B, W,
+                 np.ascontiguousarray(primes, dtype=np.int64),
+                 offset_mask, buf_num, buf_len_bits, out)
+    return out
 
 
 PACK_EXC_CAP = 2048

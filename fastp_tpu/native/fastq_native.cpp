@@ -148,6 +148,59 @@ int64_t fq_serialize(const uint8_t* namebuf,
     return o - out;
 }
 
+// Duplication-filter hashing (reference: src/duplicate.cpp:91-133).
+// Pair hash walks read1 bytes at positions 0..l1-1 then read2 bytes at
+// positions l1..l1+l2-1: sum over prime[(pos*buf_num+i) & mask] *
+// (code(base) + pos), reduced % buf_len_bits per buffer.  b2 may be NULL
+// for single-end.  Sums stay < 2^44 (no uint64 wrap).
+void dup_hash(const uint8_t* b1, const int32_t* l1,
+              const uint8_t* b2, const int32_t* l2,
+              int64_t B, int64_t W,
+              const int64_t* primes, int32_t offset_mask,
+              int32_t buf_num, uint64_t buf_len_bits,
+              int64_t* out_positions /* [buf_num, B] */) {
+    static int16_t codes[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) codes[i] = 13;
+        codes[(int)'A'] = 7; codes[(int)'T'] = 222;
+        codes[(int)'C'] = 74; codes[(int)'G'] = 31;
+        init = true;
+    }
+    for (int64_t r = 0; r < B; r++) {
+        uint64_t sums[4] = {0, 0, 0, 0};
+        int64_t pos = 0;
+        const uint8_t* seq = b1 + r * W;
+        int len = l1[r];
+        for (int half = 0; half < 2; half++) {
+            for (int j = 0; j < len; j++, pos++) {
+                uint64_t v = (uint64_t)(codes[seq[j]] + pos);
+                int64_t pbase = (pos * buf_num) & offset_mask;
+                for (int i = 0; i < buf_num; i++)
+                    sums[i] += (uint64_t)primes[(pbase + i) & offset_mask] * v;
+            }
+            if (b2 == nullptr || half == 1) break;
+            seq = b2 + r * W;
+            len = l2[r];
+        }
+        for (int i = 0; i < buf_num; i++)
+            out_positions[i * B + r] = (int64_t)(sums[i] % buf_len_bits);
+    }
+}
+
+// Sequential first-wins test-and-set over one Bloom buffer
+// (reference: src/duplicate.cpp:154-167).  Overwrites is_dup so the LAST
+// buffer's verdict survives, matching the reference's loop quirk.
+void dup_apply(uint8_t* buf, const int64_t* pos, int64_t B, uint8_t* is_dup) {
+    for (int64_t b = 0; b < B; b++) {
+        int64_t p = pos[b];
+        uint8_t bit = (uint8_t)(1u << (p & 7));
+        uint8_t* cell = buf + (p >> 3);
+        is_dup[b] = ((*cell & bit) != 0) ? 1 : 0;
+        *cell |= bit;
+    }
+}
+
 // Pack (base, qual) byte pairs into one byte per position for device
 // upload: packed = (qual-33)*5 + code with code A=0 C=1 G=2 T=3 N=4;
 // pad positions (base == 0) become 255.  Bytes outside {ACGTN, qual in
@@ -284,6 +337,51 @@ void seed_histogram(const uint8_t* bases, const int32_t* lengths,
             if (key >= 0) counts[key]++;
         }
     }
+}
+
+// Collect (read, pos) hits of one 10-mer seed over positions
+// 20..min(len-keylen-shift_tail, MAX_SEARCH-1) with rolling keys
+// (reference: src/evaluator.cpp:476-507).  Returns hit count (capped).
+int64_t collect_seed_hits(const uint8_t* bases, const int32_t* lengths,
+                          int64_t n_reads, int64_t width,
+                          int64_t seed, int shift_tail, int max_search,
+                          int64_t cap, int32_t* hit_read, int32_t* hit_pos) {
+    static int8_t b2v[256];
+    static bool init = false;
+    if (!init) {
+        memset(b2v, -1, sizeof(b2v));
+        b2v[(int)'A'] = 0; b2v[(int)'T'] = 1; b2v[(int)'C'] = 2; b2v[(int)'G'] = 3;
+        init = true;
+    }
+    const int keylen = 10;
+    const int mask = (1 << (keylen * 2)) - 1;
+    int64_t n = 0;
+    for (int64_t r = 0; r < n_reads && n < cap; r++) {
+        const uint8_t* s = bases + r * width;
+        int rl = lengths[r];
+        int hi = rl - keylen - shift_tail;
+        if (hi > max_search - 1) hi = max_search - 1;
+        int key = -1;
+        for (int p = 20; p <= hi; p++) {
+            if (key >= 0) {
+                int v = b2v[s[p + keylen - 1]];
+                key = (v < 0) ? -1 : (((key << 2) & mask) + v);
+            } else {
+                key = 0;
+                for (int i = p; i < p + keylen; i++) {
+                    int v = b2v[s[i]];
+                    if (v < 0) { key = -1; break; }
+                    key = (key << 2) + v;
+                }
+            }
+            if (key == (int)seed) {
+                hit_read[n] = (int32_t)r;
+                hit_pos[n] = p;
+                if (++n >= cap) break;
+            }
+        }
+    }
+    return n;
 }
 
 }  // extern "C"

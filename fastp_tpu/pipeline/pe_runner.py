@@ -245,16 +245,31 @@ class PairEndProcessor(BaseProcessor):
 
             # --- adapter recording -----------------------------------------
             if opt.adapter.enabled:
+                # corrections never land in the overlap-clipped region (they
+                # stay inside [start1, start1+olen) which the clip keeps), so
+                # ov-trimmed adapters slice the raw arrays; rows with
+                # corrections fall back to the correction-aware view for the
+                # by-sequence case, where regions can intersect
+                hc = view.has_corr if opt.correction.enabled else None
+                tf1a = out["total_front1"]
+                tf2a = out["total_front2"]
+                ba1, ba2 = batch1.bases, batch2.bases
                 ovt = out["ov_trimmed"]
+                fr = self.filter_result
                 for i in np.flatnonzero(ovt):
-                    ad1b = view.r1_slice(i, int(out["rlen1_pre_adapter"][i]),
-                                         int(out["rlen1_pre_ovtrim"][i])).decode("latin-1")
-                    ad2b = view.r2_slice(i, int(out["rlen2_pre_adapter"][i]),
-                                         int(out["rlen2_pre_ovtrim"][i])).decode("latin-1")
-                    self.filter_result.add_adapter_trimmed_pair(ad1b, ad2b)
-                for found_key, pos_key, pre_key, slicer, aseq, is_r2 in (
-                        ("ad_found1", "ad_pos1", "rlen1_pre_adapter", view.r1_slice, a1, False),
-                        ("ad_found2", "ad_pos2", "rlen2_pre_adapter", view.r2_slice, a2, True)):
+                    s01 = int(tf1a[i])
+                    s02 = int(tf2a[i])
+                    ad1b = ba1[i, s01 + int(out["rlen1_pre_adapter"][i]):
+                               s01 + int(out["rlen1_pre_ovtrim"][i])].tobytes()
+                    ad2b = ba2[i, s02 + int(out["rlen2_pre_adapter"][i]):
+                               s02 + int(out["rlen2_pre_ovtrim"][i])].tobytes()
+                    fr.add_adapter_trimmed_pair(ad1b.decode("latin-1"),
+                                                ad2b.decode("latin-1"))
+                for found_key, pos_key, pre_key, slicer, tfa, ba, aseq, is_r2 in (
+                        ("ad_found1", "ad_pos1", "rlen1_pre_adapter",
+                         view.r1_slice, tf1a, ba1, a1, False),
+                        ("ad_found2", "ad_pos2", "rlen2_pre_adapter",
+                         view.r2_slice, tf2a, ba2, a2, True)):
                     found = out[found_key]
                     if not found.any():
                         continue
@@ -263,9 +278,13 @@ class PairEndProcessor(BaseProcessor):
                         p = int(ad_pos[i])
                         if p < 0:
                             adapter = aseq[:len(aseq) + p].decode()
-                        else:
+                        elif hc is not None and hc[i]:
                             adapter = slicer(i, p, int(out[pre_key][i])).decode("latin-1")
-                        self.filter_result.add_adapter_trimmed(adapter, is_r2)
+                        else:
+                            s0 = int(tfa[i])
+                            adapter = ba[i, s0 + p:
+                                         s0 + int(out[pre_key][i])].tobytes().decode("latin-1")
+                        fr.add_adapter_trimmed(adapter, is_r2)
 
             # --- overrepresentation sampling (pre) -------------------------
             if self.overrep_pre1.enabled:
