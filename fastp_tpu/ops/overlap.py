@@ -56,51 +56,31 @@ def _xcorr(lhs, rhs, pad_right: int):
     return out[0]  # [B, W]
 
 
-def analyze_conv(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
-                 diff_pct: float):
-    """Batched OverlapAnalysis::analyze via one-hot cross-correlation.
+def _select_first_accept(mm_f, mm50_f, mm_b, mm50_b, len1, len2,
+                         diff_limit: int, overlap_require: int,
+                         diff_pct: float, n_off: int):
+    """Shared accept/first-wins selection over mismatch matrices.
 
-    EXACT for clean-alphabet (ACGTN) reads: with one-hot channels the match
-    count at offset t is an inner product, so mismatches = olen - matches.
     The first-accept-wins order (all forward offsets, then backward) is
-    reproduced by an argmax over the concatenated accept matrix.
-    """
-    B, L = seq1.shape
-    len1 = len1.astype(jnp.int32)
-    len2 = len2.astype(jnp.int32)
-    rc2 = rc(seq2, len2)
-    n_off = max(L - overlap_require, 1)
-    dt = jnp.bfloat16 if L <= 256 else jnp.float32
-
-    oh1 = _onehot_acgtn(seq1, len1, dt)
-    oh2 = _onehot_acgtn(rc2, len2, dt)
-    k50 = min(COMPLETE_COMPARE_REQUIRE, L)
-
-    m_f = _xcorr(oh1, oh2, n_off)[:, :n_off]
-    m_b = _xcorr(oh2, oh1, n_off)[:, :n_off]
-    p50_f = _xcorr(oh1, oh2[:, :, :k50], n_off)[:, :n_off]
-    p50_b = _xcorr(oh2, oh1[:, :, :k50], n_off)[:, :n_off]
-
+    reproduced by an argmax over the concatenated accept matrix."""
+    B = len1.shape[0]
     offs = jax.lax.broadcasted_iota(jnp.int32, (B, n_off), 1)
 
-    def judge(matches, pre50_matches, olen, active):
+    def judge(mm, mm50, olen, active):
         olen_c = jnp.maximum(olen, 0)
-        mm = olen_c - jnp.round(matches).astype(jnp.int32)
-        mm50 = jnp.minimum(olen_c, COMPLETE_COMPARE_REQUIRE) - \
-            jnp.round(pre50_matches).astype(jnp.int32)
         limit = jnp.minimum(diff_limit,
                             (olen_c.astype(jnp.float32) * diff_pct).astype(jnp.int32))
         accept = active & (mm50 <= limit) & \
             ((mm <= limit) | (olen_c > COMPLETE_COMPARE_REQUIRE))
-        return accept, mm
+        return accept
 
     olen_f = jnp.minimum(len1[:, None] - offs, len2[:, None])
     act_f = offs < (len1 - overlap_require)[:, None]
-    acc_f, mm_f = judge(m_f, p50_f, olen_f, act_f)
+    acc_f = judge(mm_f, mm50_f, olen_f, act_f)
 
     olen_b = jnp.minimum(len1[:, None], len2[:, None] - offs)
     act_b = offs < (len2 - overlap_require)[:, None]
-    acc_b, mm_b = judge(m_b, p50_b, olen_b, act_b)
+    acc_b = judge(mm_b, mm50_b, olen_b, act_b)
 
     accept = jnp.concatenate([acc_f, acc_b], axis=1)
     olen_all = jnp.concatenate([olen_f, olen_b], axis=1)
@@ -119,6 +99,42 @@ def analyze_conv(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
     }
 
 
+def analyze_conv(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
+                 diff_pct: float):
+    """Batched OverlapAnalysis::analyze via one-hot cross-correlation.
+
+    EXACT for clean-alphabet (ACGTN) reads: with one-hot channels the match
+    count at offset t is an inner product, so mismatches = olen - matches.
+    """
+    B, L = seq1.shape
+    len1 = len1.astype(jnp.int32)
+    len2 = len2.astype(jnp.int32)
+    rc2 = rc(seq2, len2)
+    n_off = max(L - overlap_require, 1)
+    dt = jnp.bfloat16 if L <= 256 else jnp.float32
+
+    oh1 = _onehot_acgtn(seq1, len1, dt)
+    oh2 = _onehot_acgtn(rc2, len2, dt)
+    k50 = min(COMPLETE_COMPARE_REQUIRE, L)
+
+    m_f = _xcorr(oh1, oh2, n_off)[:, :n_off]
+    m_b = _xcorr(oh2, oh1, n_off)[:, :n_off]
+    p50_f = _xcorr(oh1, oh2[:, :, :k50], n_off)[:, :n_off]
+    p50_b = _xcorr(oh2, oh1[:, :, :k50], n_off)[:, :n_off]
+
+    offs = jax.lax.broadcasted_iota(jnp.int32, (B, n_off), 1)
+    olen_f = jnp.maximum(jnp.minimum(len1[:, None] - offs, len2[:, None]), 0)
+    olen_b = jnp.maximum(jnp.minimum(len1[:, None], len2[:, None] - offs), 0)
+    mm_f = olen_f - jnp.round(m_f).astype(jnp.int32)
+    mm_b = olen_b - jnp.round(m_b).astype(jnp.int32)
+    mm50_f = jnp.minimum(olen_f, COMPLETE_COMPARE_REQUIRE) - \
+        jnp.round(p50_f).astype(jnp.int32)
+    mm50_b = jnp.minimum(olen_b, COMPLETE_COMPARE_REQUIRE) - \
+        jnp.round(p50_b).astype(jnp.int32)
+    return _select_first_accept(mm_f, mm50_f, mm_b, mm50_b, len1, len2,
+                                diff_limit, overlap_require, diff_pct, n_off)
+
+
 def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
             diff_pct: float, allow_gap: bool = False, clean=None):
     """Batched OverlapAnalysis::analyze.
@@ -132,6 +148,13 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
     dirty batches fall back to the byte-exact offset loop via lax.cond.
     """
     if clean is not None and not allow_gap:
+        import os
+        if os.environ.get("FASTP_TPU_PALLAS_OVERLAP"):
+            # the Pallas sweep compares raw bytes: exact for ANY alphabet,
+            # so no clean/dirty branching is needed
+            from .overlap_pallas import analyze_pallas
+            return analyze_pallas(seq1, len1, seq2, len2, diff_limit,
+                                  overlap_require, diff_pct)
         return jax.lax.cond(
             clean,
             lambda ops: analyze_conv(*ops, diff_limit, overlap_require, diff_pct),
