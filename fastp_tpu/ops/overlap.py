@@ -149,7 +149,15 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
     """
     if clean is not None and not allow_gap:
         import os
-        if os.environ.get("FASTP_TPU_PALLAS_OVERLAP"):
+        env = os.environ.get("FASTP_TPU_PALLAS_OVERLAP")
+        if env is None:
+            # default: Pallas on real accelerators (smaller executable, no
+            # clean/dirty cond, steadier load times); conv on CPU where the
+            # Mosaic kernel would have to run interpreted
+            use_pallas = jax.default_backend() != "cpu"
+        else:
+            use_pallas = env not in ("", "0")
+        if use_pallas:
             # the Pallas sweep compares raw bytes: exact for ANY alphabet,
             # so no clean/dirty branching is needed
             from .overlap_pallas import analyze_pallas
