@@ -76,7 +76,7 @@ def measure_ours() -> float:
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     best = 0.0
-    for _ in range(REPEATS):
+    for _ in range(max(REPEATS, 3)):
         t0 = time.time()
         subprocess.run([sys.executable, "-m", "fastp_tpu"] + ARGS +
                        ["--batch_size", "16384"],
