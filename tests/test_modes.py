@@ -80,6 +80,19 @@ def test_stdin_stdout(tmp_path):
     assert res.stdout == golden
 
 
+def test_gzip_input(tmp_path):
+    import gzip as gz
+    for src, dst in ((R1, "R1.fq.gz"), (R2, "R2.fq.gz")):
+        with gz.open(tmp_path / dst, "wb") as f:
+            f.write(open(src, "rb").read())
+    run_cli(tmp_path, ["-i", "R1.fq.gz", "-I", "R2.fq.gz",
+                       "-o", "o1.fq", "-O", "o2.fq",
+                       "--correction", "--cut_right"])
+    golden = open(os.path.join(ROOT, "tests", "golden",
+                               "cfg3_pe_correction", "out1.fq"), "rb").read()
+    assert (tmp_path / "o1.fq").read_bytes() == golden
+
+
 def test_batch_driver(tmp_path):
     indir = tmp_path / "in"
     indir.mkdir()
