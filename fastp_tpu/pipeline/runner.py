@@ -97,6 +97,12 @@ class BaseProcessor:
         from ..parallel.mesh import build_sharded_step
         return build_sharded_step(step_fn, self.mesh, 0)
 
+    def _cpu_backend(self) -> bool:
+        if not hasattr(self, "_is_cpu"):
+            import jax
+            self._is_cpu = jax.default_backend() == "cpu"
+        return self._is_cpu
+
     def _try_pack_inputs(self, bases, quals):
         """(packed, exc_idx, exc_base, exc_qual) or None.
 
@@ -117,8 +123,15 @@ class BaseProcessor:
         """Pad batch-major arrays to a fixed target size (and a multiple of
         the device count) with a valid mask.  Keeping every batch the same
         shape avoids a full XLA recompile (~30-50s on TPU) for the final
-        partial batch."""
+        partial batch.  On the CPU backend small inputs pad to a bucket
+        ladder instead: compiling a 16384-row program to process a 9-read
+        test file costs minutes of XLA CPU time for nothing."""
         tgt = max(B, target or B)
+        if self._cpu_backend():
+            for bucket in (256, 1024, 4096):
+                if B <= bucket:
+                    tgt = bucket
+                    break
         tgt = -(-tgt // self.n_dev) * self.n_dev
         pad = tgt - B
         if pad == 0:

@@ -17,21 +17,23 @@ from .filter_model import FilterResult
 
 
 def _fmt_number(n: int) -> str:
-    """reference: HtmlReporter::formatNumber -- K/M/G suffixes."""
-    n = float(n)
+    """reference: src/htmlreporter.cpp:34-46 (formatNumber, K/M/G suffixes;
+    note the strict `> 1000.0` and std::to_string's fixed 6 decimals)."""
+    num = float(n)
     units = ["", "K", "M", "G", "T", "P"]
     order = 0
-    while n >= 1000.0 and order < len(units) - 1:
+    while num > 1000.0 and order < len(units) - 1:
         order += 1
-        n /= 1000.0
+        num /= 1000.0
     if order == 0:
         return str(int(n))
-    return "%.6f %s" % (n, units[order])
+    return "%.6f %s" % (num, units[order])
 
 
 def _pct(num, den) -> str:
+    """reference: src/htmlreporter.cpp:49-54 (getPercents + '%')"""
     if den == 0:
-        return "0.000000%"
+        return "0.0%"
     return "%.6f%%" % (num * 100.0 / den)
 
 
@@ -145,11 +147,18 @@ class HtmlReporter:
               ".kmer_table{border-collapse:collapse;font-size:8px;}"
               ".kmer_table td{padding:1px 2px;text-align:center;}"
               ".section_title{font-size:20px;color:#ffffff;background:#556699;"
-              "padding:5px;margin-top:15px;}"
+              "padding:5px;margin-top:15px;cursor:pointer;}"
               ".subsection_title{font-size:16px;color:#556699;padding:4px 0;"
-              "font-weight:bold;}</style>\n")
+              "font-weight:bold;cursor:pointer;}"
+              ".sub_section_tips{font-size:11px;color:#999999;padding:3px;}"
+              "</style>\n")
+            # reference: src/htmlreporter.cpp printJs -- collapsible sections
+            w("<script type=\"text/javascript\">\n"
+              "function showOrHide(divname){div=document.getElementById(divname);"
+              "if(div.style.display=='none')div.style.display='block';"
+              "else div.style.display='none';}\n</script>\n")
             w("</head>\n<body>\n")
-            w("<h1>%s</h1>\n" % opt.reportTitle)
+            w("<h1 style='text-align:left;'>%s</h1>\n" % opt.reportTitle)
 
             pre_reads = pre1.get_reads() + (pre2.get_reads() if pre2 else 0)
             pre_bases = pre1.get_bases() + (pre2.get_bases() if pre2 else 0)
@@ -162,31 +171,72 @@ class HtmlReporter:
             post_q30 = post1.get_q30() + (post2.get_q30() if post2 else 0)
             post_gc = post1.get_gc_number() + (post2.get_gc_number() if post2 else 0)
 
-            w("<div class='section_title'>Summary</div>\n")
-            w("<table class='summary_table'>\n")
+            pre_q40 = pre1.get_q40() + (pre2.get_q40() if pre2 else 0)
+            post_q40 = post1.get_q40() + (post2.get_q40() if post2 else 0)
+
+            def row(k, v):
+                w("<tr><td class='col1'>%s</td><td class='col2'>%s</td></tr>\n" % (k, v))
+
+            # reference: src/htmlreporter.cpp:115-166 (General section)
+            w("<div class='section_title' onclick=showOrHide('summary')>"
+              "<a name='summary'>Summary</a></div>\n")
+            w("<div id='summary'>\n")
+            w("<div class='subsection_title' onclick=showOrHide('general')>General</div>\n")
+            w("<div id='general'>\n<table class='summary_table'>\n")
             seq_info = ("paired end (%d cycles + %d cycles)" % (pre1.get_cycles(), pre2.get_cycles())
                         if paired else "single end (%d cycles)" % pre1.get_cycles())
-            rows = [
-                ("fastp version:", "%s (fastp_tpu)" % FASTP_TPU_VER),
-                ("sequencing:", seq_info),
-            ]
-            for k, v in rows:
-                w("<tr><td class='col1'>%s</td><td class='col2'>%s</td></tr>\n" % (k, v))
-            w("</table>\n")
+            row("fastp version:", "%s (fastp_tpu)" % FASTP_TPU_VER)
+            row("sequencing:", seq_info)
+            if paired:
+                row("mean length before filtering:",
+                    "%dbp, %dbp" % (pre1.get_mean_length(), pre2.get_mean_length()))
+                if not opt.merge.enabled:
+                    row("mean length after filtering:",
+                        "%dbp, %dbp" % (post1.get_mean_length(), post2.get_mean_length()))
+            else:
+                row("mean length before filtering:", "%dbp" % pre1.get_mean_length())
+                row("mean length after filtering:", "%dbp" % post1.get_mean_length())
+            if opt.duplicate.enabled:
+                dup_str = "%.6f%%" % (self.dup_rate * 100.0)
+                if not paired:
+                    dup_str += " (may be overestimated since this is SE data)"
+                row("duplication rate:", dup_str)
+            if paired:
+                row("Insert size peak:", str(self.insert_size_peak))
+            if opt.adapterCuttingEnabled():
+                from ..knownadapters import get_known_adapters
+                known = get_known_adapters()
+                if opt.adapter.detectedAdapter1:
+                    info = opt.adapter.detectedAdapter1
+                    if info in known:
+                        info += " -" + known[info]
+                    row("Detected read1 adapter:", info)
+                if opt.adapter.detectedAdapter2:
+                    info = opt.adapter.detectedAdapter2
+                    if info in known:
+                        info += " -" + known[info]
+                    row("Detected read2 adapter:", info)
+            w("</table>\n</div>\n")
 
-            for title, reads, bases, q20, q30, gc, st1, st2 in (
-                    ("Before filtering", pre_reads, pre_bases, pre_q20, pre_q30, pre_gc, pre1, pre2),
-                    ("After filtering", post_reads, post_bases, post_q20, post_q30, post_gc, post1, post2)):
-                w("<div class='subsection_title'>%s</div>\n" % title)
-                w("<table class='summary_table'>\n")
-                w("<tr><td>total reads:</td><td>%s</td></tr>\n" % _fmt_number(reads))
-                w("<tr><td>total bases:</td><td>%s</td></tr>\n" % _fmt_number(bases))
-                w("<tr><td>Q20 bases:</td><td>%s (%s)</td></tr>\n" % (_fmt_number(q20), _pct(q20, bases)))
-                w("<tr><td>Q30 bases:</td><td>%s (%s)</td></tr>\n" % (_fmt_number(q30), _pct(q30, bases)))
-                w("<tr><td>GC content:</td><td>%s</td></tr>\n" % _pct(gc, bases))
-                w("</table>\n")
+            for div_id, title, reads, bases, q20, q30, q40, gc in (
+                    ("before_filtering_summary", "Before filtering", pre_reads,
+                     pre_bases, pre_q20, pre_q30, pre_q40, pre_gc),
+                    ("after_filtering_summary", "After filtering", post_reads,
+                     post_bases, post_q20, post_q30, post_q40, post_gc)):
+                w("<div class='subsection_title' onclick=showOrHide('%s')>%s</div>\n"
+                  % (div_id, title))
+                w("<div id='%s'>\n<table class='summary_table'>\n" % div_id)
+                row("total reads:", _fmt_number(reads))
+                row("total bases:", _fmt_number(bases))
+                row("Q20 bases:", "%s (%s)" % (_fmt_number(q20), _pct(q20, bases)))
+                row("Q30 bases:", "%s (%s)" % (_fmt_number(q30), _pct(q30, bases)))
+                row("Q40 bases:", "%s (%s)" % (_fmt_number(q40), _pct(q40, bases)))
+                row("GC content:", _pct(gc, bases))
+                w("</table>\n</div>\n")
 
-            w("<div class='section_title'>Filtering result</div>\n")
+            w("<div class='subsection_title' onclick=showOrHide('filtering_result')>"
+              "Filtering result</div>\n")
+            w("<div id='filtering_result'>\n")
             w("<table class='summary_table'>\n")
             frs = result.filter_read_stats
             total = max(pre_reads, 1)
@@ -211,23 +261,46 @@ class HtmlReporter:
             if opt.complexityFilter.enabled:
                 w("<tr><td>reads with low complexity:</td><td>%s (%.6f%%)</td></tr>\n"
                   % (_fmt_number(frs[FAIL_COMPLEXITY]), frs[FAIL_COMPLEXITY] * 100.0 / total))
-            w("</table>\n")
-
-            if opt.duplicate.enabled:
-                w("<div class='section_title'>Duplication</div>\n")
-                w("<div>duplication rate: %.6f%%</div>\n" % (self.dup_rate * 100.0))
+            w("</table>\n</div>\n")
+            w("</div>\n")  # closes #summary
 
             if paired and self.insert_hist is not None:
-                w("<div class='section_title'>Insert size estimation</div>\n")
-                w("<div>insert size peak: %d</div>\n" % self.insert_size_peak)
-                w("<div class='figure' id='plot_insert'></div>\n")
+                # reference: src/htmlreporter.cpp:216-282 (reportInsertSize):
+                # percent-based bars limited to cycles1+cycles2-overlapRequire,
+                # with the non-overlapped fraction called out as "unknown".
+                w("<div class='section_title' onclick=showOrHide('insert_size')>"
+                  "<a name='insert_size'>Insert size estimation</a></div>\n")
+                w("<div id='insert_size'>\n")
+                isize_limit = max(1, pre1.get_cycles() + pre2.get_cycles()
+                                  - opt.overlapRequire)
+                total_bins = min(opt.insertSizeMax, isize_limit)
+                hist = np.asarray(self.insert_hist, np.float64)
+                all_count = float(hist[:total_bins].sum() + hist[opt.insertSizeMax])
+                if all_count > 0:
+                    percents = hist[:total_bins] * 100.0 / all_count
+                    unknown_pct = float(hist[opt.insertSizeMax]) * 100.0 / all_count
+                else:
+                    percents = np.zeros(total_bins)
+                    unknown_pct = float("nan")
+                w("<div id='insert_size_figure'>\n")
+                w("<div class='figure' id='plot_insert_size' style='height:400px;'></div>\n")
+                w("</div>\n")
+                w("<div class='sub_section_tips'>This estimation is based on paired-end "
+                  "overlap analysis, and there are %.6f%% reads found not overlapped. "
+                  "<br /> The nonoverlapped read pairs may have insert size &lt;%d or "
+                  "&gt;%d, or contain too much sequencing errors to be detected as "
+                  "overlapped.</div>\n"
+                  % (unknown_pct, opt.overlapRequire, isize_limit))
                 w("<script type=\"text/javascript\">\n")
-                hist = [int(v) for v in self.insert_hist[:opt.insertSizeMax]]
-                w("var data=[{x:[%s],y:[%s],type:'bar'}];\n"
-                  % (",".join(str(i) for i in range(len(hist))),
-                     ",".join(str(v) for v in hist)))
-                w("Plotly.newPlot('plot_insert', data, {xaxis:{title:'insert size'}, yaxis:{title:'read count'}});\n")
-                w("</script>\n")
+                w("var data=[{x:[%s],y:[%s],name:'Percent (%%)  ',type:'bar',"
+                  "line:{color:'rgba(128,0,128,1.0)', width:1}}];\n"
+                  % (",".join(str(i) for i in range(total_bins)),
+                     ",".join("%.6f" % v for v in percents)))
+                w("var layout={title:'Insert size distribution (%.6f%% reads are with "
+                  "unknown length)', xaxis:{title:'Insert size'}, "
+                  "yaxis:{title:'Read percent (%%)'}};\n" % unknown_pct)
+                w("Plotly.newPlot('plot_insert_size', data, layout);\n")
+                w("</script>\n</div>\n")
 
             if result is not None and opt.adapterCuttingEnabled():
                 w("<div class='section_title'>Adapters</div>\n")
