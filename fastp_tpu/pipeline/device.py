@@ -161,12 +161,21 @@ def pack_for_host(out, B: int, layout: dict):
                       and v.shape[0] == B and v.dtype == jnp.int32)
     if i32_keys:
         out["_i32"] = jnp.stack([out.pop(k) for k in i32_keys])
-    # 2) [B] bool flags -> one [K, B] matrix
+    # 2) [B] bool flags -> bit-packed [ceil(K/8), B] uint8 (8x fewer D2H
+    #    bytes than a bool matrix; the tunnel is bandwidth-bound)
     b_keys = sorted(k for k, v in out.items()
                     if not isinstance(v, dict) and getattr(v, "ndim", 0) == 1
                     and v.shape[0] == B and v.dtype == jnp.bool_)
     if b_keys:
-        out["_bool"] = jnp.stack([out.pop(k) for k in b_keys])
+        rows = [out.pop(k).astype(jnp.uint8) for k in b_keys]
+        words = []
+        for w0 in range(0, len(rows), 8):
+            chunk = rows[w0:w0 + 8]
+            bits = chunk[0]
+            for j in range(1, len(chunk)):
+                bits = bits | (chunk[j] << j)
+            words.append(bits)
+        out["_bool"] = jnp.stack(words)
     # 3) every stats dict -> one flat int32 vector (+ per-key shape table:
     #    post_merged stats are wider than the others in merge mode)
     stat_keys = sorted(k for k, v in out.items() if isinstance(v, dict))
@@ -205,7 +214,7 @@ def unpack_from_host(out: dict, layout: dict) -> dict:
     if "_bool" in out:
         m = out.pop("_bool")
         for j, k in enumerate(layout["bool_keys"]):
-            out[k] = m[j]
+            out[k] = ((m[j // 8] >> (j % 8)) & 1).astype(bool)
     for k in layout["stat_keys"]:
         shapes = layout["stats_shapes"][k]
         vec = out.pop("_stats_" + k)
@@ -227,7 +236,8 @@ def _slim_outputs(out, B: int, L: int):
     Row-index lists stay int32 (they index up to B)."""
     if L > 32000 or _os.environ.get("FASTP_TPU_NO_SLIM"):
         return out
-    keep_i32 = ("c1_rows", "c2_rows")
+    # row-index lists also fit int16 whenever B does
+    keep_i32 = () if B <= 32767 else ("c1_rows", "c2_rows")
     for k, v in list(out.items()):
         if (not isinstance(v, dict) and k not in keep_i32
                 and getattr(v, "ndim", 0) == 1 and v.shape[0] == B

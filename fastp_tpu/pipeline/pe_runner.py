@@ -209,6 +209,7 @@ class PairEndProcessor(BaseProcessor):
                                 target=opt.batchSize)
             out_dev = self._dispatch_pe(b1p, q1p, l1p, b2p, q2p, l2p,
                                         pt1p, pt2p, idxp, dedp, valid)
+            out_dev = self._fetch_pool().submit(jax.device_get, out_dev)
             pairs_read += B
             if opt.verbose and pairs_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
@@ -226,7 +227,7 @@ class PairEndProcessor(BaseProcessor):
             # ONE batched D2H fetch of the packed buffers (each buffer costs
             # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
             from .device import unpack_from_host
-            out = unpack_from_host(jax.device_get(out), self.step_layout)
+            out = unpack_from_host(out.result(), self.step_layout)
 
             self.pre_stats1.add_batch(out["pre1"])
             self.pre_stats2.add_batch(out["pre2"])
@@ -256,15 +257,20 @@ class PairEndProcessor(BaseProcessor):
                 ba1, ba2 = batch1.bases, batch2.bases
                 ovt = out["ov_trimmed"]
                 fr = self.filter_result
-                for i in np.flatnonzero(ovt):
-                    s01 = int(tf1a[i])
-                    s02 = int(tf2a[i])
-                    ad1b = ba1[i, s01 + int(out["rlen1_pre_adapter"][i]):
-                               s01 + int(out["rlen1_pre_ovtrim"][i])].tobytes()
-                    ad2b = ba2[i, s02 + int(out["rlen2_pre_adapter"][i]):
-                               s02 + int(out["rlen2_pre_ovtrim"][i])].tobytes()
-                    fr.add_adapter_trimmed_pair(ad1b.decode("latin-1"),
-                                                ad2b.decode("latin-1"))
+                rows = np.flatnonzero(ovt)
+                if rows.size:
+                    # bulk int conversion: per-element numpy scalar indexing
+                    # costs ~1us/row, .tolist() is ~30ns/row
+                    s01 = tf1a[rows]
+                    s02 = tf2a[rows]
+                    lo1 = (s01 + out["rlen1_pre_adapter"][rows]).tolist()
+                    hi1 = (s01 + out["rlen1_pre_ovtrim"][rows]).tolist()
+                    lo2 = (s02 + out["rlen2_pre_adapter"][rows]).tolist()
+                    hi2 = (s02 + out["rlen2_pre_ovtrim"][rows]).tolist()
+                    for i, a, b, c, d in zip(rows.tolist(), lo1, hi1, lo2, hi2):
+                        fr.add_adapter_trimmed_pair(
+                            ba1[i, a:b].tobytes().decode("latin-1"),
+                            ba2[i, c:d].tobytes().decode("latin-1"))
                 for found_key, pos_key, pre_key, slicer, tfa, ba, aseq, is_r2 in (
                         ("ad_found1", "ad_pos1", "rlen1_pre_adapter",
                          view.r1_slice, tf1a, ba1, a1, False),
@@ -274,16 +280,19 @@ class PairEndProcessor(BaseProcessor):
                     if not found.any():
                         continue
                     ad_pos = out[pos_key]
-                    for i in np.flatnonzero(found):
-                        p = int(ad_pos[i])
+                    frows = np.flatnonzero(found)
+                    ps = ad_pos[frows].tolist()
+                    pres = out[pre_key][frows].tolist()
+                    tfs = tfa[frows].tolist()
+                    hcs = hc[frows].tolist() if hc is not None else [False] * frows.size
+                    for i, p, pre, s0, h in zip(frows.tolist(), ps, pres, tfs, hcs):
                         if p < 0:
                             adapter = aseq[:len(aseq) + p].decode()
-                        elif hc is not None and hc[i]:
-                            adapter = slicer(i, p, int(out[pre_key][i])).decode("latin-1")
+                        elif h:
+                            adapter = slicer(i, p, pre).decode("latin-1")
                         else:
-                            s0 = int(tfa[i])
                             adapter = ba[i, s0 + p:
-                                         s0 + int(out[pre_key][i])].tobytes().decode("latin-1")
+                                         s0 + pre].tobytes().decode("latin-1")
                         fr.add_adapter_trimmed(adapter, is_r2)
 
             # --- overrepresentation sampling (pre) -------------------------
@@ -477,6 +486,9 @@ class PairEndProcessor(BaseProcessor):
             pairs_seen += B
             pending = nxt
 
+        if opt.verbose:
+            from ..utils.log import loginfo
+            loginfo("batch loop done (%d pairs)" % pairs_seen)
         if reader1:
             reader1.close()
         if reader2:
@@ -487,6 +499,9 @@ class PairEndProcessor(BaseProcessor):
             wtr.close()
         if split is not None:
             split.close()
+        if opt.verbose:
+            from ..utils.log import loginfo
+            loginfo("writers drained")
 
         return self._finish()
 

@@ -144,6 +144,17 @@ class BaseProcessor:
         valid[:B] = True
         return out, valid
 
+    def _fetch_pool(self):
+        """Single-worker executor that runs jax.device_get off-thread.
+
+        The tunnel D2H recv blocks ~0.1-1s per batch with the GIL released;
+        fetching on a side thread lets the next batch's host-side work
+        (tokenize, dup hash, pack, dispatch) overlap the transfer."""
+        if not hasattr(self, "_fetch_exec"):
+            from concurrent.futures import ThreadPoolExecutor
+            self._fetch_exec = ThreadPoolExecutor(max_workers=1)
+        return self._fetch_exec
+
     def _index_drop_mask(self, names1, names2=None) -> np.ndarray:
         n = len(names1)
         mask = np.zeros(n, bool)
@@ -258,6 +269,7 @@ class SingleEndProcessor(BaseProcessor):
                  index_drop, dedup_out], B, target=opt.batchSize)
             out_dev = self._dispatch(bases_p, quals_p, lengths_p,
                                      pre_trim_p, index_drop_p, dedup_p, valid)
+            out_dev = self._fetch_pool().submit(jax.device_get, out_dev)
             reads_read += B
             if opt.verbose and reads_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
@@ -273,7 +285,7 @@ class SingleEndProcessor(BaseProcessor):
             # ONE batched D2H fetch of the packed buffers (each buffer costs
             # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
             from .device import unpack_from_host
-            out = unpack_from_host(jax.device_get(out), self.step_layout)
+            out = unpack_from_host(out.result(), self.step_layout)
 
             self.pre_stats.add_batch(out["pre"])
             self.post_stats.add_batch(out["post"])
@@ -286,19 +298,18 @@ class SingleEndProcessor(BaseProcessor):
             # adapter recording
             ad_found = out["ad_found"]
             if ad_found.any():
-                ad_pos = out["ad_pos"]
-                tf = out["total_front"]
-                pre_ad = out["rlen_pre_adapter"]
-                post_ad = out["rlen_post_adapter"]
                 alen = len(adapter_seq1)
-                for i in np.flatnonzero(ad_found):
-                    p = int(ad_pos[i])
+                frows = np.flatnonzero(ad_found)
+                ps = out["ad_pos"][frows].tolist()
+                tfs = out["total_front"][frows].tolist()
+                pres = out["rlen_pre_adapter"][frows].tolist()
+                posts = out["rlen_post_adapter"][frows].tolist()
+                for i, p, s0, pre, post in zip(frows.tolist(), ps, tfs, pres, posts):
                     if p < 0:
                         adapter = adapter_seq1[:alen + p].decode()
                     else:
-                        s0 = int(tf[i])
-                        adapter = bases[i, s0 + int(post_ad[i]):
-                                        s0 + int(pre_ad[i])].tobytes().decode()
+                        adapter = bases[i, s0 + post:
+                                        s0 + pre].tobytes().decode()
                     self.filter_result.add_adapter_trimmed(adapter, False)
 
             # overrepresentation sampling (pre on original, post on emitted)
@@ -359,6 +370,9 @@ class SingleEndProcessor(BaseProcessor):
             reads_seen += B
             pending = nxt
 
+        if opt.verbose:
+            from ..utils.log import loginfo
+            loginfo("batch loop done (%d reads)" % reads_seen)
         reader.close()
         if out_writer:
             out_writer.close()
@@ -366,6 +380,9 @@ class SingleEndProcessor(BaseProcessor):
             failed_writer.close()
         if split is not None:
             split.close()
+        if opt.verbose:
+            from ..utils.log import loginfo
+            loginfo("writers drained")
 
         return self._finish()
 

@@ -14,7 +14,8 @@ LOW_COMPLEXITY_SKIP = 5000
 
 def _is_low_complexity(adapter: str) -> bool:
     """reference: src/filterresult.cpp:115-122"""
-    diff = sum(1 for i in range(len(adapter) - 1) if adapter[i] != adapter[i + 1])
+    b = np.frombuffer(adapter.encode("latin-1"), np.uint8)
+    diff = int((b[1:] != b[:-1]).sum()) if b.size > 1 else 0
     return diff < len(adapter) // 2
 
 
