@@ -207,9 +207,14 @@ class PairEndProcessor(BaseProcessor):
                 self._pad_batch([b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
                                  index_drop, dedup_out], B,
                                 target=opt.batchSize)
-            out_dev = self._dispatch_pe(b1p, q1p, l1p, b2p, q2p, l2p,
-                                        pt1p, pt2p, idxp, dedp, valid)
-            out_dev = self._fetch_pool().submit(jax.device_get, out_dev)
+            # dispatch + fetch run on the single-worker pool: the H2D
+            # staging, device compute, and D2H recv of batch k all overlap
+            # the host-side prep (tokenize/dup/pad) of batch k+1.  One
+            # worker keeps dispatch order == input order.
+            out_dev = self._fetch_pool().submit(
+                lambda a=(b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp,
+                          dedp, valid):
+                jax.device_get(self._dispatch_pe(*a)))
             pairs_read += B
             if opt.verbose and pairs_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo

@@ -267,9 +267,13 @@ class SingleEndProcessor(BaseProcessor):
              dedup_p), valid = self._pad_batch(
                 [batch.bases, batch.quals, batch.lengths, pre_trim,
                  index_drop, dedup_out], B, target=opt.batchSize)
-            out_dev = self._dispatch(bases_p, quals_p, lengths_p,
-                                     pre_trim_p, index_drop_p, dedup_p, valid)
-            out_dev = self._fetch_pool().submit(jax.device_get, out_dev)
+            # dispatch + fetch on the single-worker pool: upload/compute/
+            # download of batch k overlap the host prep of batch k+1 (see
+            # pe_runner.produce)
+            out_dev = self._fetch_pool().submit(
+                lambda a=(bases_p, quals_p, lengths_p, pre_trim_p,
+                          index_drop_p, dedup_p, valid):
+                jax.device_get(self._dispatch(*a)))
             reads_read += B
             if opt.verbose and reads_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
