@@ -16,6 +16,9 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_dist_initialized = False
+
+
 def init_distributed():
     """Multi-host initialization (call once per process before device use).
 
@@ -26,7 +29,11 @@ def init_distributed():
     TPU metadata environment; a no-op for single-host runs.
     """
     import os
+    global _dist_initialized
+    if _dist_initialized:
+        return True
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        _dist_initialized = True
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),

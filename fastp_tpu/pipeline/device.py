@@ -246,7 +246,15 @@ def _slim_outputs(out, B: int, L: int):
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def build_se_step(cfg: DeviceCfg, packed: bool = False):
+    """Memoized on (cfg, packed): a resident process (``fastp_tpu serve``)
+    reuses the jitted step — and its loaded TPU executable — across runs,
+    so the one-time compile + device program load is paid once per
+    configuration, not once per job."""
     fview = _FilterCfgView(cfg)
     layout = {}
 
@@ -305,7 +313,9 @@ def _unpack_bq(p, idx, base, qual):
     return b, q
 
 
+@functools.lru_cache(maxsize=None)
 def build_pe_step(cfg: DeviceCfg, packed: bool = False):
+    """Memoized on (cfg, packed) — see build_se_step."""
     fview = _FilterCfgView(cfg)
     layout = {}
 

@@ -504,6 +504,7 @@ class PairEndProcessor(BaseProcessor):
             wtr.close()
         if split is not None:
             split.close()
+        self._close_pool()
         if opt.verbose:
             from ..utils.log import loginfo
             loginfo("writers drained")

@@ -155,6 +155,13 @@ class BaseProcessor:
             self._fetch_exec = ThreadPoolExecutor(max_workers=1)
         return self._fetch_exec
 
+    def _close_pool(self):
+        """Shut the fetch executor down at end of run (a resident server
+        process would otherwise leak one thread per job)."""
+        if hasattr(self, "_fetch_exec"):
+            self._fetch_exec.shutdown(wait=True)
+            del self._fetch_exec
+
     def _index_drop_mask(self, names1, names2=None) -> np.ndarray:
         n = len(names1)
         mask = np.zeros(n, bool)
@@ -384,6 +391,7 @@ class SingleEndProcessor(BaseProcessor):
             failed_writer.close()
         if split is not None:
             split.close()
+        self._close_pool()
         if opt.verbose:
             from ..utils.log import loginfo
             loginfo("writers drained")

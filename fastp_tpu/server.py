@@ -1,0 +1,160 @@
+"""Resident server mode: keep one warm process, run many jobs.
+
+The dominant cost of a cold fastp_tpu run is one-time: PJRT client init
+(~10s), XLA compile (cached on disk after the first run), and the TPU
+server-side *program load* of the compiled executable (tens of seconds,
+high variance).  The reference amortizes nothing because its startup is
+trivial; ours amortizes everything by staying resident: the jitted pipeline
+steps are memoized on their static config (pipeline/device.py), so every
+job after the first with the same configuration runs at steady-state
+throughput immediately.
+
+This is the deployment mode for production/serving: start `fastp_tpu serve
+--socket /path.sock` once per host, then point the CLI at it with
+FASTP_TPU_SERVER=/path.sock (the thin client in client.py never imports
+JAX, so client startup is milliseconds).
+
+Protocol (unix stream socket, one job per connection):
+  request:  one JSON line {"argv": [...], "cwd": "...", "op": "run"}
+            (op may also be "ping" or "shutdown")
+  response: frames of [tag:1 byte][len:u32 LE][payload]
+            tag 'O' = stdout bytes, 'E' = stderr bytes,
+            tag 'R' = final JSON {"rc": int} and end-of-job
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import sys
+import traceback
+
+
+def send_frame(conn: socket.socket, tag: bytes, payload: bytes):
+    conn.sendall(tag + struct.pack("<I", len(payload)) + payload)
+
+
+def recv_exact(conn: socket.socket, n: int) -> bytes:
+    parts = []
+    while n:
+        b = conn.recv(n)
+        if not b:
+            raise ConnectionError("peer closed")
+        parts.append(b)
+        n -= len(b)
+    return b"".join(parts)
+
+
+class _SockStream:
+    """File-like that forwards writes to the client as framed chunks.
+    Stands in for sys.stdout / sys.stderr during a job; exposes itself as
+    .buffer so `sys.stdout.buffer.write(bytes)` works too."""
+
+    def __init__(self, conn: socket.socket, tag: bytes):
+        self._conn = conn
+        self._tag = tag
+        self.buffer = self
+        self.encoding = "utf-8"
+
+    def write(self, data):
+        if isinstance(data, str):
+            data = data.encode("utf-8", "replace")
+        if data:
+            send_frame(self._conn, self._tag, data)
+        return len(data)
+
+    def flush(self):
+        pass
+
+    def isatty(self):
+        return False
+
+
+def _run_job(argv, cwd, conn) -> int:
+    from .cli import main as cli_main
+    old_out, old_err, old_cwd = sys.stdout, sys.stderr, os.getcwd()
+    sys.stdout = _SockStream(conn, b"O")
+    sys.stderr = _SockStream(conn, b"E")
+    try:
+        os.chdir(cwd)
+        rc = cli_main(argv)
+        return int(rc) if rc else 0
+    except SystemExit as e:
+        code = e.code
+        if code is None:
+            return 0
+        return code if isinstance(code, int) else 1
+    except BrokenPipeError:
+        return 1
+    except BaseException:
+        try:
+            sys.stderr.write(traceback.format_exc())
+        except Exception:
+            pass
+        return 1
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+        os.chdir(old_cwd)
+
+
+def serve(sock_path: str, warm: bool = False) -> int:
+    try:
+        os.unlink(sock_path)
+    except OSError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(8)
+    if warm:
+        # touch the accelerator so PJRT client init happens before READY
+        import jax
+        jax.devices()
+    sys.stdout.write("READY %d\n" % os.getpid())
+    sys.stdout.flush()
+    while True:
+        conn, _ = srv.accept()
+        try:
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = conn.recv(65536)
+                if not chunk:
+                    buf = b""
+                    break
+                buf += chunk
+            if not buf:
+                continue
+            req = json.loads(buf)
+            op = req.get("op", "run")
+            if op == "ping":
+                send_frame(conn, b"R", json.dumps({"rc": 0}).encode())
+                continue
+            if op == "shutdown":
+                send_frame(conn, b"R", json.dumps({"rc": 0}).encode())
+                conn.close()
+                break
+            rc = _run_job(req["argv"], req.get("cwd", "."), conn)
+            send_frame(conn, b"R", json.dumps({"rc": rc}).encode())
+        except (ConnectionError, BrokenPipeError, json.JSONDecodeError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+    srv.close()
+    try:
+        os.unlink(sock_path)
+    except OSError:
+        pass
+    return 0
+
+
+def serve_main(args) -> int:
+    import argparse
+    p = argparse.ArgumentParser(prog="fastp_tpu serve")
+    p.add_argument("--socket", required=True, help="unix socket path")
+    p.add_argument("--warm", action="store_true",
+                   help="initialize the accelerator client before READY")
+    ns = p.parse_args(args)
+    return serve(ns.socket, warm=ns.warm)
