@@ -400,6 +400,10 @@ def main(argv=None):
     from .pipeline.pe_runner import PairEndProcessor
     from .parallel.mesh import init_distributed
     init_distributed()  # no-op unless JAX_COORDINATOR_ADDRESS is set
+    from .parallel import multihost
+    if multihost.active():
+        # shard the input byte ranges / output names for this process
+        multihost.shard_options(opt)
 
     import contextlib
     prof_dir = os.environ.get("FASTP_TPU_PROFILE")

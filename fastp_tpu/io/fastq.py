@@ -43,7 +43,8 @@ def _open_stream(filename: str):
 class FastqReader:
     """Streaming FASTQ line reader with reference-compatible semantics."""
 
-    def __init__(self, filename: str, phred64: bool = False):
+    def __init__(self, filename: str, phred64: bool = False,
+                 byte_range: Optional[Tuple[int, int]] = None):
         self.filename = filename
         self.phred64 = phred64
         self._fh, self._zipped = _open_stream(filename)
@@ -54,11 +55,22 @@ class FastqReader:
         self._eof = False
         self._stopped = False
         self.bytes_read = 0  # compressed/file bytes consumed
+        self._budget = None  # remaining bytes of a multi-host shard range
+        if byte_range is not None:
+            self._fh.seek(byte_range[0])
+            self._budget = byte_range[1] - byte_range[0]
+
+    def _next_raw(self) -> bytes:
+        n = CHUNK if self._budget is None else min(CHUNK, self._budget)
+        raw = self._fh.read(n) if n > 0 else b""
+        if self._budget is not None:
+            self._budget -= len(raw)
+        return raw
 
     def _fill(self) -> bool:
         """Read the next chunk and split into lines. Returns False at EOF."""
         while True:
-            raw = self._fh.read(CHUNK)
+            raw = self._next_raw()
             if not raw:
                 if self._zipped and self._decomp is not None:
                     data = self._decomp.flush()
@@ -322,7 +334,8 @@ class ArrayFastqReader:
     """Streaming reader that tokenizes straight into padded arrays via the
     native C++ tokenizer (fastp_tpu/native/fastq_native.cpp)."""
 
-    def __init__(self, filename: str, phred64: bool = False):
+    def __init__(self, filename: str, phred64: bool = False,
+                 byte_range: Optional[Tuple[int, int]] = None):
         from . import native
         self._native = native
         assert native.get_lib() is not None
@@ -335,9 +348,16 @@ class ArrayFastqReader:
         self._stopped = False
         self.bytes_read = 0
         self._est = 280  # adaptive bytes-per-record estimate
+        self._budget = None  # remaining bytes of a multi-host shard range
+        if byte_range is not None:
+            self._fh.seek(byte_range[0])
+            self._budget = byte_range[1] - byte_range[0]
 
     def _read_more(self):
-        raw = self._fh.read(CHUNK)
+        n = CHUNK if self._budget is None else min(CHUNK, self._budget)
+        raw = self._fh.read(n) if n > 0 else b""
+        if self._budget is not None:
+            self._budget -= len(raw)
         if not raw:
             data = self._decomp.flush() if (self._zipped and self._decomp) else b""
             self._eof = True
@@ -394,8 +414,9 @@ class ArrayFastqReader:
 class PyBatchReader:
     """Record-based fallback with the ArrayFastqReader interface."""
 
-    def __init__(self, filename: str, phred64: bool = False):
-        self._reader = FastqReader(filename, phred64)
+    def __init__(self, filename: str, phred64: bool = False,
+                 byte_range: Optional[Tuple[int, int]] = None):
+        self._reader = FastqReader(filename, phred64, byte_range)
         self.filename = filename
 
     @property
@@ -415,11 +436,12 @@ class PyBatchReader:
         self._reader.close()
 
 
-def open_batch_reader(filename: str, phred64: bool = False):
+def open_batch_reader(filename: str, phred64: bool = False,
+                      byte_range: Optional[Tuple[int, int]] = None):
     from . import native
     if native.get_lib() is not None:
-        return ArrayFastqReader(filename, phred64)
-    return PyBatchReader(filename, phred64)
+        return ArrayFastqReader(filename, phred64, byte_range)
+    return PyBatchReader(filename, phred64, byte_range)
 
 
 class OutputWriter:

@@ -18,6 +18,7 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "native")
 _SRC = os.path.join(_NATIVE_DIR, "fastq_native.cpp")
+_SRCS = [_SRC, os.path.join(_NATIVE_DIR, "route_native.cpp")]
 _LIB_NAME = "libfastq_native.so"
 
 _lock = threading.Lock()
@@ -31,8 +32,8 @@ _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 
 
 def _build(lib_path: str) -> bool:
-    cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
-           _SRC, "-o", lib_path]
+    cmd = (["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native"]
+           + [s for s in _SRCS if os.path.exists(s)] + ["-o", lib_path])
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired):
@@ -90,6 +91,22 @@ def _bind(lib):
         _u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         _i32p, _i32p]
+    _side = [_u8p, _i64p, _i32p, _u8p, _i64p, _i32p,  # name/strand buffers
+             _u8p, _u8p]                              # bases/quals
+    lib.fq_emit_routed.restype = ctypes.c_int64
+    lib.fq_emit_routed.argtypes = (
+        _side + [_i32p, _i32p, _i32p, _i32p]          # tf/rlen/pre/lraw 1
+        + _side + [_i32p, _i32p, _i32p, _i32p]        # tf/rlen/pre/lraw 2
+        + [ctypes.c_int64, ctypes.c_int64,            # B, W
+           _u8p, _i32p, _u8p, _i32p,                  # emitA/tagA/emitB/tagB
+           _u8p, _i64p, _i32p, _u8p])                 # tag table, out
+    lib.fq_emit_merged.restype = ctypes.c_int64
+    lib.fq_emit_merged.argtypes = (
+        _side + [_i32p, _i32p]                        # tf/rlen 1
+        + _side + [_i32p, _i32p]                      # tf/rlen 2
+        + [ctypes.c_int64, ctypes.c_int64,            # B, W
+           _u8p, _i32p, _i32p, _i32p,                 # m_emit/m_len1/m_len2/ol
+           _u8p, _u8p, _u8p])                         # umA, umB, out
     return lib
 
 
@@ -105,7 +122,8 @@ def get_lib():
         if os.environ.get("FASTP_TPU_NO_NATIVE"):
             return None
         path = _lib_path()
-        src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+        src_mtime = max((os.path.getmtime(s) for s in _SRCS
+                         if os.path.exists(s)), default=0)
         if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
             if not os.path.exists(_SRC) or not _build(path):
                 return None

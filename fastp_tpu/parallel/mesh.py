@@ -43,7 +43,10 @@ def init_distributed():
 
 
 def make_mesh(n_devices: int = 0) -> Mesh:
-    devs = jax.devices()
+    # local devices only: each host shards its own batches over its own
+    # chips (host arrays are not addressable on a cross-process mesh);
+    # cross-host reduction happens at the stats layer (parallel/multihost.py)
+    devs = jax.local_devices()
     if n_devices and n_devices < len(devs):
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("dp",))

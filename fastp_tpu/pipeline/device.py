@@ -448,6 +448,16 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False):
         post1 = stats_ops.stat_batch(w1, wq1, rlen1, emit_pair)
         post2 = stats_ops.stat_batch(w2, wq2, rlen2, emit_pair)
 
+        if cfg.merge_enabled and cfg.merge_include_unmerged:
+            # per-mate post stats for unmerged survivors, which the host
+            # adds into the merged-stream stats (reference statRead calls at
+            # src/peprocessor.cpp:503,513 feed getPostStats1 for both mates)
+            not_merged = ~out["merged_ok"] & ~dedup_out & alive1 & alive2
+            out["post_um1"] = stats_ops.stat_batch(
+                w1, wq1, rlen1, not_merged & pass1)
+            out["post_um2"] = stats_ops.stat_batch(
+                w2, wq2, rlen2, not_merged & pass2)
+
         out.update({
             "pre1": pre1, "pre2": pre2, "post1": post1, "post2": post2,
             "ov_offset": ov["offset"], "ov_olen": ov["overlap_len"],

@@ -95,11 +95,14 @@ class PairEndProcessor(BaseProcessor):
     def process(self) -> Dict:
         opt = self.opt
         if opt.interleavedInput:
-            pair_src = _InterleavedPairSource(open_batch_reader(opt.in1, opt.phred64))
+            pair_src = _InterleavedPairSource(open_batch_reader(
+                opt.in1, opt.phred64, getattr(opt, "shardRange1", None)))
             reader1 = reader2 = None
         else:
-            reader1 = open_batch_reader(opt.in1, opt.phred64)
-            reader2 = open_batch_reader(opt.in2, opt.phred64)
+            reader1 = open_batch_reader(opt.in1, opt.phred64,
+                                        getattr(opt, "shardRange1", None))
+            reader2 = open_batch_reader(opt.in2, opt.phred64,
+                                        getattr(opt, "shardRange2", None))
             pair_src = None
 
         writers = {}
@@ -341,29 +344,19 @@ class PairEndProcessor(BaseProcessor):
                 ovm_ol = out["ovm_olen"]
                 self.post_stats1.add_batch(out["post_merged"])
 
-            fast = (native_mod.get_lib() is not None and not merge_on
-                    and split is None and not opt.outputToSTDOUT
-                    and not opt.overlappedOut
-                    and "unpaired1" not in writers
-                    and "unpaired2" not in writers
-                    and "failed" not in writers
-                    and not self.overrep_post1.enabled)
-            if fast:
-                emitp = np.asarray(out["emit_pair"][:B])
+            routed = native_mod.get_lib() is not None
+            if routed:
                 if opt.correction.enabled:
                     self._patch_corrections(batch1, batch2, out, B)
-                for bt, tf_key, rl in ((batch1, "total_front1", rlen1),
-                                       (batch2, "total_front2", rlen2)):
-                    nbuf, noff, nlen_a = bt.name_buffers()
-                    sbuf, soff, slen_a = bt.strand_buffers()
-                    blob = native_mod.serialize(
-                        nbuf, noff, nlen_a, sbuf, soff, slen_a,
-                        bt.bases, bt.quals, out[tf_key][:B], rl[:B],
-                        emitp, bt.width)
-                    parts["out1" if bt is batch1 else "out2"].append(blob)
-                self.filter_result.add_filter_result_array(
-                    np.maximum(result1[:B], result2[:B])[~index_drop], 2)
-                read_passed = int(emitp.sum())
+                from .pe_route import route_pe
+                rparts, read_passed, merged_count = route_pe(
+                    self, out, batch1, batch2, B, index_drop,
+                    pre_trim1, pre_trim2, dedup_out, 0)
+                for k, v in rparts.items():
+                    parts[k].append(v)
+                if merge_on and opt.merge.includeUnmerged:
+                    self.post_stats1.add_batch(out["post_um1"])
+                    self.post_stats1.add_batch(out["post_um2"])
             else:
               for i in range(B):
                 if index_drop[i]:
@@ -386,9 +379,13 @@ class PairEndProcessor(BaseProcessor):
                             read_passed += 1
                             merged_count += 1
                         merge_processed = True
-                    elif opt.merge.includeUnmerged:
-                        r1ok = bool(out["alive1"][i]) and result1[i] == PASS_FILTER
-                        r2ok = bool(out["alive2"][i]) and result2[i] == PASS_FILTER
+                    elif (opt.merge.includeUnmerged and out["alive1"][i]
+                          and out["alive2"][i]):
+                        # reference merge block requires both mates alive
+                        # (src/peprocessor.cpp:491); dead-mate rows fall
+                        # through to normal routing
+                        r1ok = result1[i] == PASS_FILTER
+                        r2ok = result2[i] == PASS_FILTER
                         self.filter_result.add_filter_result(int(result1[i]), 1)
                         if r1ok and not dedup_out[i]:
                             s1w, q1w = view.r1(i, int(rlen1[i]))
@@ -634,6 +631,14 @@ class PairEndProcessor(BaseProcessor):
 
     def _finish(self) -> Dict:
         opt = self.opt
+        from ..parallel import multihost
+        if multihost.active():
+            # gather every shard's accumulators; only process 0 reports
+            if not multihost.merge_processor_stats(self, is_pe=True):
+                return {"pre1": self.pre_stats1, "post1": self.post_stats1,
+                        "pre2": self.pre_stats2, "post2": self.post_stats2,
+                        "filter": self.filter_result, "dup_rate": 0.0,
+                        "insert_peak": 0}
         sys.stderr.write("Read1 before filtering:\n")
         self._print_stats(self.pre_stats1)
         sys.stderr.write("\nRead2 before filtering:\n")

@@ -87,7 +87,7 @@ class BaseProcessor:
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         import jax
         from ..parallel.mesh import make_mesh, build_sharded_step
-        n_dev = opt.deviceCount or len(jax.devices())
+        n_dev = opt.deviceCount or jax.local_device_count()
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.n_dev = n_dev if self.mesh is not None else 1
 
@@ -209,7 +209,8 @@ class SingleEndProcessor(BaseProcessor):
 
     def process(self) -> Dict:
         opt = self.opt
-        reader = open_batch_reader(opt.in1, opt.phred64)
+        reader = open_batch_reader(opt.in1, opt.phred64,
+                                   getattr(opt, "shardRange1", None))
         from ..io import native as native_mod
         nlib = native_mod.get_lib()
         out_writer = None
@@ -400,6 +401,12 @@ class SingleEndProcessor(BaseProcessor):
 
     def _finish(self) -> Dict:
         opt = self.opt
+        from ..parallel import multihost
+        if multihost.active():
+            # gather every shard's accumulators; only process 0 reports
+            if not multihost.merge_processor_stats(self, is_pe=False):
+                return {"pre": self.pre_stats, "post": self.post_stats,
+                        "filter": self.filter_result, "dup_rate": 0.0}
         sys.stderr.write("Read1 before filtering:\n")
         self._print_stats(self.pre_stats)
         sys.stderr.write("\nRead1 after filtering:\n")

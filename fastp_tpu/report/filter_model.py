@@ -86,6 +86,34 @@ class FilterResult:
                     return
                 self.adapter2[adapter2] = 1
 
+    # -- cross-host merge (reference: FilterResult::merge,
+    #    src/filterresult.cpp:38-89) ----------------------------------------
+    def state_dict(self) -> dict:
+        return {
+            "filter_read_stats": self.filter_read_stats,
+            "trimmed_adapter_reads": self.trimmed_adapter_reads,
+            "trimmed_adapter_bases": self.trimmed_adapter_bases,
+            "merged_pairs": self.merged_pairs,
+            "adapter1": self.adapter1, "adapter2": self.adapter2,
+            "correction_matrix": self.correction_matrix,
+            "corrected_reads": self.corrected_reads,
+            "polyx_trimmed_reads": self.polyx_trimmed_reads,
+            "polyx_trimmed_bases": self.polyx_trimmed_bases,
+        }
+
+    def merge_state(self, st: dict):
+        self.filter_read_stats += st["filter_read_stats"]
+        self.trimmed_adapter_reads += st["trimmed_adapter_reads"]
+        self.trimmed_adapter_bases += st["trimmed_adapter_bases"]
+        self.merged_pairs += st["merged_pairs"]
+        for key, m in (("adapter1", self.adapter1), ("adapter2", self.adapter2)):
+            for k, v in st[key].items():
+                m[k] = m.get(k, 0) + v
+        self.correction_matrix += st["correction_matrix"]
+        self.corrected_reads += st["corrected_reads"]
+        self.polyx_trimmed_reads += st["polyx_trimmed_reads"]
+        self.polyx_trimmed_bases += st["polyx_trimmed_bases"]
+
     def add_correction_matrix(self, matrix64: np.ndarray):
         self.correction_matrix += matrix64.astype(np.int64)
 

@@ -37,6 +37,40 @@ def _pct(num, den) -> str:
     return "%.6f%%" % (num * 100.0 / den)
 
 
+def _cycle_samples(cycles: int, long_read: bool):
+    """x coordinates for curve plots; long reads (>300 cycles) downsample
+    geometrically (x1.05) after the first 40 cycles
+    (reference: src/stats.cpp:761-788)."""
+    if not long_read:
+        return list(range(1, cycles + 1))
+    x = list(range(1, min(40, cycles) + 1))
+    if cycles > 40:
+        pos = 40.0
+        while True:
+            pos *= 1.05
+            if pos >= cycles:
+                break
+            x.append(int(pos))
+        if x[-1] != cycles:
+            x.append(cycles)
+    return x
+
+
+def _sample_curve(curve, coords) -> str:
+    """Window-averaged curve values over (coords[i-1], coords[i]] buckets
+    (reference: src/stats.cpp:507-531 list2string with coords)."""
+    out = []
+    start = 0
+    for c in coords:
+        if c == start:
+            out.append("0.0")
+        else:
+            seg = curve[start:c]
+            out.append(cpp_num(float(np.sum(seg)) / (c - start)))
+        start = c
+    return ",".join(out)
+
+
 class HtmlReporter:
     def __init__(self, opt: Options):
         self.opt = opt
@@ -55,7 +89,12 @@ class HtmlReporter:
         st.summarize()
         div_base = ("%s: %s" % (filtering_type, read_name)).replace(" ", "_").replace(":", "_")
         cycles = st.cycles
-        x = list(range(1, cycles + 1))
+        long_read = st.is_long_read()
+        # >300-cycle reads: geometric cycle downsampling + log x axis
+        # (reference: src/stats.cpp:761-788, :802-804)
+        x = _cycle_samples(cycles, long_read)
+        xs = ",".join(map(str, x))
+        log_axis = ",type:'log'" if long_read else ""
         # quality curves
         w("<div class='subsection_title'>%s: %s: quality</div>\n" % (filtering_type, read_name))
         w("<div class='figure' id='plot_q_%s'></div>\n" % div_base)
@@ -67,12 +106,13 @@ class HtmlReporter:
         for base in ["A", "T", "C", "G", "mean"]:
             curve = st.quality_curves[base]
             w("{x:[%s],y:[%s],name:'%s',mode:'lines',line:{color:'%s',width:1}},"
-              % (",".join(map(str, x)), ",".join(cpp_num(v) for v in curve),
-                 base, colors[base]))
+              % (xs, _sample_curve(curve, x), base, colors[base]))
         w("];\n")
-        w("Plotly.newPlot('plot_q_%s', data, {xaxis:{title:'position'}, yaxis:{title:'quality'}});\n" % div_base)
+        w("Plotly.newPlot('plot_q_%s', data, {xaxis:{title:'position'%s}, yaxis:{title:'quality'}});\n"
+          % (div_base, log_axis))
         w("</script>\n")
-        # content curves
+        # content curves (legend carries the overall percentage,
+        # reference: src/stats.cpp:861-874)
         w("<div class='subsection_title'>%s: %s: base contents</div>\n" % (filtering_type, read_name))
         w("<div class='figure' id='plot_c_%s'></div>\n" % div_base)
         w("<script type=\"text/javascript\">\n")
@@ -82,11 +122,17 @@ class HtmlReporter:
                    "N": "rgba(255, 0, 0, 1.0)", "GC": "rgba(20,20,20,1.0)"}
         for base in ["A", "T", "C", "G", "N", "GC"]:
             curve = st.content_curves[base]
-            w("{x:[%s],y:[%s],name:'%s',mode:'lines',line:{color:'%s',width:1}},"
-              % (",".join(map(str, x)), ",".join(cpp_num(v) for v in curve),
-                 base, colors2[base]))
+            if len(base) == 1:
+                count = int(st.base_contents[ord(base) & 0x07])
+            else:
+                count = int(st.base_contents[ord("G") & 7]
+                            + st.base_contents[ord("C") & 7])
+            pct = ("%f" % (count * 100.0 / max(st.bases, 1)))[:5]
+            w("{x:[%s],y:[%s],name:'%s(%s%%)',mode:'lines',line:{color:'%s',width:1}},"
+              % (xs, _sample_curve(curve, x), base, pct, colors2[base]))
         w("];\n")
-        w("Plotly.newPlot('plot_c_%s', data, {xaxis:{title:'position'}, yaxis:{title:'base content ratios'}});\n" % div_base)
+        w("Plotly.newPlot('plot_c_%s', data, {xaxis:{title:'position'%s}, yaxis:{title:'base content ratios'}});\n"
+          % (div_base, log_axis))
         w("</script>\n")
         # kmer table
         w("<div class='subsection_title'>%s: %s: KMER counting</div>\n" % (filtering_type, read_name))
@@ -112,25 +158,64 @@ class HtmlReporter:
                   % (r, r, r, kmer3(i), kmer2(j), val, kmer3(i), kmer2(j)))
             w("</tr>\n")
         w("</table>\n")
-        # overrepresented sequences
+        # overrepresented sequences with per-cycle distribution canvases
+        # (reference: src/stats.cpp:567-651 reportHtmlORA)
         if self.opt.overRepAnalysis.enabled:
+            div_name = ("%s: %s: overrepresented sequences"
+                        % (filtering_type, read_name)).replace(" ", "_").replace(":", "_")
+            passed = [seq for seq in sorted(st.overrep)
+                      if st.overrep_passed(seq, st.overrep[seq])]
             w("<div class='subsection_title'>%s: %s: overrepresented sequences</div>\n"
               % (filtering_type, read_name))
+            w("<div id='%s'>\n" % div_name)
+            w("<div class='sub_section_tips'>Sampling rate: 1 / %d</div>\n"
+              % self.opt.overRepAnalysis.sampling)
             w("<table class='summary_table'>\n")
             w("<tr style='font-weight:bold;'><td>overrepresented sequence</td>"
-              "<td>count (%% of bases)</td></tr>\n")
-            found = 0
-            for seq in sorted(st.overrep):
+              "<td>count (%% of bases)</td>"
+              "<td>distribution: cycle 1 ~ cycle %d</td></tr>\n"
+              % st.evaluated_seq_len)
+            for seq in passed:
                 count = st.overrep[seq]
-                if not st.overrep_passed(seq, count):
-                    continue
-                found += 1
                 pct = (100.0 * count * len(seq) * self.opt.overRepAnalysis.sampling) / max(st.bases, 1)
-                w("<tr><td style='word-break:break-all;font-size:8px;'>%s</td>"
-                  "<td>%d (%.6f%%)</td></tr>\n" % (seq, count, pct))
-            if found == 0:
-                w("<tr><td style='text-align:center' colspan='2'>not found</td></tr>\n")
-            w("</table>\n")
+                w("<tr><td width='400' style='word-break:break-all;font-size:8px;'>%s</td>"
+                  "<td width='200'>%d (%.6f%%)</td>"
+                  "<td width='250'><canvas id='%s_%s' width='240' height='20'></td></tr>\n"
+                  % (seq, count, pct, div_name, seq))
+            if not passed:
+                w("<tr><td style='text-align:center' colspan='3'>not found</td></tr>\n")
+            w("</table>\n</div>\n")
+            # distribution canvas painter (reference: src/stats.cpp:610-651)
+            w("<script language='javascript'>\n")
+            w("var seqlen = %d;\n" % st.evaluated_seq_len)
+            w("var orp_dist = {\n")
+            w(",\n".join('\t"%s_%s":[%s]' % (
+                div_name, seq,
+                ",".join(str(int(v)) for v in
+                         st.overrep_dist[seq][:st.evaluated_seq_len]))
+                for seq in passed))
+            w("\n};\n")
+            w("for (seq in orp_dist) {\n"
+              "    var cvs = document.getElementById(seq);\n"
+              "    var ctx = cvs.getContext('2d'); \n"
+              "    var data = orp_dist[seq];\n"
+              "    var w = 240;\n    var h = 20;\n"
+              "    ctx.fillStyle='#cccccc';\n"
+              "    ctx.fillRect(0, 0, w, h);\n"
+              "    ctx.fillStyle='#0000FF';\n"
+              "    var maxVal = 0;\n"
+              "    for(d=0; d<seqlen; d++) {\n"
+              "        if(data[d]>maxVal) maxVal = data[d];\n"
+              "    }\n"
+              "    var step = (seqlen-1) /  (w-1);\n"
+              "    for(x=0; x<w; x++){\n"
+              "        var target = step * x;\n"
+              "        var val = data[Math.floor(target)];\n"
+              "        var y = Math.floor((val / maxVal) * h);\n"
+              "        ctx.fillRect(x,h-1, 1, -y);\n"
+              "    }\n"
+              "}\n")
+            w("</script>\n")
 
     def report(self, result: FilterResult, pre1: Stats, post1: Stats,
                pre2: Stats = None, post2: Stats = None):

@@ -95,6 +95,45 @@ class Stats:
     def add_overrep(self, seq: str, count: int = 1):
         self.overrep[seq] = self.overrep.get(seq, 0) + count
 
+    # -- cross-host merge (reference: Stats::merge, src/stats.cpp:902-965) --
+    def state_dict(self) -> dict:
+        """Picklable accumulator snapshot for cross-process stat merging."""
+        return {
+            "reads": self.reads, "length_sum": self.length_sum,
+            "buf_len": self.buf_len,
+            "cycle_q20": self.cycle_q20, "cycle_q30": self.cycle_q30,
+            "cycle_content": self.cycle_content, "cycle_qual": self.cycle_qual,
+            "cycle_total_base": self.cycle_total_base,
+            "cycle_total_qual": self.cycle_total_qual,
+            "qual_hist": self.qual_hist, "kmer": self.kmer,
+            "overrep": self.overrep, "overrep_dist": self.overrep_dist,
+        }
+
+    def merge_state(self, st: dict):
+        """Add another process's accumulator snapshot into this one."""
+        L = st["buf_len"]
+        if L > self.buf_len:
+            self._grow(L)
+        self.cycle_q20[:, :L] += st["cycle_q20"]
+        self.cycle_q30[:, :L] += st["cycle_q30"]
+        self.cycle_content[:, :L] += st["cycle_content"]
+        self.cycle_qual[:, :L] += st["cycle_qual"]
+        self.cycle_total_base[:L] += st["cycle_total_base"]
+        self.cycle_total_qual[:L] += st["cycle_total_qual"]
+        self.qual_hist += st["qual_hist"]
+        self.kmer += st["kmer"]
+        self.reads += st["reads"]
+        self.length_sum += st["length_sum"]
+        for k, v in st["overrep"].items():
+            self.overrep[k] = self.overrep.get(k, 0) + v
+        for k, v in st["overrep_dist"].items():
+            if k in self.overrep_dist:
+                d = self.overrep_dist[k]
+                d[:len(v)] += v[:len(d)]
+            else:
+                self.overrep_dist[k] = v
+        self._summarized = False
+
     # -- summarize (reference: src/stats.cpp:143-223) ---------------------
     def summarize(self, forced: bool = False):
         if self._summarized and not forced:
