@@ -235,10 +235,15 @@ class ArrayBatch:
     @property
     def names(self) -> List[bytes]:
         if self._names is None:
-            ch = self.chunk
-            self._names = [
-                ch[self.name_off[i]:self.name_off[i] + self.name_len[i]].tobytes()
-                for i in range(self.n)]
+            if self._nameblob is not None:
+                bb, off, ln = self._nameblob, self._nameblob_off, self._nameblob_len
+                self._names = [bb[off[i]:off[i] + ln[i]].tobytes()
+                               for i in range(self.n)]
+            else:
+                ch = self.chunk
+                self._names = [
+                    ch[self.name_off[i]:self.name_off[i] + self.name_len[i]].tobytes()
+                    for i in range(self.n)]
         return self._names
 
     @property
@@ -255,9 +260,21 @@ class ArrayBatch:
         self._names = names
         self._nameblob = None
 
+    def set_name_buffers(self, blob: np.ndarray, off: np.ndarray,
+                         lens: np.ndarray):
+        """Install rebuilt names as (blob, offsets, lengths) arrays (native
+        UMI path) without materializing a per-read bytes list."""
+        self._nameblob = blob
+        self._nameblob_off = np.ascontiguousarray(off, np.int64)
+        self._nameblob_len = np.ascontiguousarray(lens, np.int32)
+        self._names = None
+
     def name(self, i: int) -> bytes:
         if self._names is not None:
             return self._names[i]
+        if self._nameblob is not None:
+            o = self._nameblob_off[i]
+            return self._nameblob[o:o + self._nameblob_len[i]].tobytes()
         o = self.name_off[i]
         return self.chunk[o:o + self.name_len[i]].tobytes()
 
@@ -304,6 +321,8 @@ class ArrayBatch:
 
     def name_buffers(self):
         """(buf, off, len) arrays for native serialization."""
+        if self._nameblob is not None and self._names is None:
+            return self._nameblob, self._nameblob_off, self._nameblob_len
         if self._names is None and self.chunk is not None:
             return self.chunk, self.name_off, self.name_len
         if self._nameblob is None:

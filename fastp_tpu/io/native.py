@@ -100,6 +100,25 @@ def _bind(lib):
         + [ctypes.c_int64, ctypes.c_int64,            # B, W
            _u8p, _i32p, _u8p, _i32p,                  # emitA/tagA/emitB/tagB
            _u8p, _i64p, _i32p, _u8p])                 # tag table, out
+    lib.ora_create.restype = ctypes.c_void_p
+    lib.ora_create.argtypes = [_u8p, _i64p, _i32p, ctypes.c_int64,
+                               ctypes.c_int, _i32p, ctypes.c_int]
+    lib.ora_destroy.restype = None
+    lib.ora_destroy.argtypes = [ctypes.c_void_p]
+    lib.ora_stat_batch.restype = None
+    lib.ora_stat_batch.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64,
+        _i32p, _i32p, _i32p, ctypes.c_int64, _i64p, _i64p]
+    lib.umi_process.restype = ctypes.c_int64
+    lib.umi_process.argtypes = [
+        _u8p, _i64p, _i32p,                                # name buffers 1
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, # name buffers 2
+        _u8p, _i32p, ctypes.c_void_p, ctypes.c_void_p,     # bases/len 1, 2
+        ctypes.c_int64, ctypes.c_int64,                    # B, W
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,          # loc, umi_len, skip
+        _u8p, ctypes.c_int, _u8p, ctypes.c_int,            # prefix, delim
+        _u8p, _i64p, _i32p, _u8p, _i64p, _i32p,            # out1, out2
+        _i32p, _i32p, ctypes.POINTER(ctypes.c_int64)]      # pre1, pre2, w2
     lib.fq_emit_merged.restype = ctypes.c_int64
     lib.fq_emit_merged.argtypes = (
         _side + [_i32p, _i32p]                        # tf/rlen 1
@@ -212,6 +231,60 @@ def pack_bq(bases: np.ndarray, quals: np.ndarray):
     if n < PACK_EXC_CAP:
         exc_idx[n:] = bases.size
     return packed, exc_idx, exc_base, exc_qual, int(n)
+
+
+def umi_process(nb1, noff1, nlen1, nb2, noff2, nlen2,
+                bases1, len1, bases2, len2, W,
+                loc, umi_len, skip, prefix: bytes, delim: bytes):
+    """Batched UMI name splicing. Returns
+    ((blob1, off1, lens1), (blob2, off2, lens2) or None, pre1, pre2)."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(nlen1)
+    extra = len(delim) + len(prefix) + 2 + 2 * max(umi_len, 64)
+    cap1 = int(np.asarray(nlen1).sum()) + B * extra + 64
+    out1 = np.empty(cap1, np.uint8)
+    ooff1 = np.empty(B, np.int64)
+    olen1 = np.empty(B, np.int32)
+    pre1 = np.zeros(B, np.int32)
+    pre2 = np.zeros(B, np.int32)
+    has2 = nb2 is not None
+    if has2:
+        cap2 = int(np.asarray(nlen2).sum()) + B * extra + 64
+        out2 = np.empty(cap2, np.uint8)
+        ooff2 = np.empty(B, np.int64)
+        olen2 = np.empty(B, np.int32)
+        nb2c = np.ascontiguousarray(nb2)
+        noff2c = np.ascontiguousarray(noff2, np.int64)
+        nlen2c = np.ascontiguousarray(nlen2, np.int32)
+        b2c = np.ascontiguousarray(bases2)
+        l2c = np.ascontiguousarray(len2, np.int32)
+        p2 = (nb2c.ctypes.data_as(ctypes.c_void_p),
+              noff2c.ctypes.data_as(ctypes.c_void_p),
+              nlen2c.ctypes.data_as(ctypes.c_void_p),
+              b2c.ctypes.data_as(ctypes.c_void_p),
+              l2c.ctypes.data_as(ctypes.c_void_p))
+    else:
+        out2 = np.empty(1, np.uint8)
+        ooff2 = np.zeros(B, np.int64)
+        olen2 = np.zeros(B, np.int32)
+        p2 = (None, None, None, None, None)
+    w2 = ctypes.c_int64(0)
+    pfx = np.frombuffer(prefix or b"\0", np.uint8)
+    dlm = np.frombuffer(delim or b"\0", np.uint8)
+    w1 = lib.umi_process(
+        np.ascontiguousarray(nb1), np.ascontiguousarray(noff1, np.int64),
+        np.ascontiguousarray(nlen1, np.int32),
+        p2[0], p2[1], p2[2],
+        np.ascontiguousarray(bases1), np.ascontiguousarray(len1, np.int32),
+        p2[3], p2[4],
+        B, W, loc, umi_len, skip,
+        pfx, len(prefix), dlm, len(delim),
+        out1, ooff1, olen1, out2, ooff2, olen2,
+        pre1, pre2, ctypes.byref(w2))
+    r1 = (out1[:int(w1)], ooff1, olen1)
+    r2 = (out2[:int(w2.value)], ooff2, olen2) if has2 else None
+    return r1, r2, pre1, pre2
 
 
 def serialize(namebuf, name_off, name_len, strandbuf, strand_off, strand_len,

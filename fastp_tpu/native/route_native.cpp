@@ -20,6 +20,10 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
 
 namespace {
 
@@ -174,6 +178,256 @@ int64_t fq_emit_merged(
         }
     }
     return o - out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Overrepresented-sequence scanning (reference: src/stats.cpp:312-329).
+// The key set is fixed after the evaluator pre-pass, so it is indexed once
+// into per-length hash maps (string_view keys over owned storage: no
+// allocation on the per-position probe).
+
+namespace {
+
+struct OraDB {
+    std::vector<std::string> storage;
+    // the reference's fixed step list {10,20,40,100,min(150,evalLen-2)} --
+    // duplicate lengths scan twice, as in src/stats.cpp:314
+    std::vector<int> steps;
+    std::unordered_map<int, std::unordered_map<std::string_view, int32_t>> by_len;
+    int eval_len;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ora_create(const uint8_t* keys, const int64_t* koff,
+                 const int32_t* klen, int64_t nkeys, int eval_len,
+                 const int32_t* steps, int nsteps) {
+    OraDB* db = new OraDB();
+    db->eval_len = eval_len;
+    db->steps.assign(steps, steps + nsteps);
+    db->storage.reserve(nkeys);
+    for (int64_t i = 0; i < nkeys; i++)
+        db->storage.emplace_back((const char*)keys + koff[i], (size_t)klen[i]);
+    for (int64_t i = 0; i < nkeys; i++) {
+        int L = (int)db->storage[i].size();
+        db->by_len[L].emplace(std::string_view(db->storage[i]), (int32_t)i);
+    }
+    return db;
+}
+
+void ora_destroy(void* h) {
+    delete (OraDB*)h;
+}
+
+// Scan selected rows; counts[nkeys] and dist[nkeys * eval_len] accumulate.
+// Matches the reference scan order: per step length, advance by step+1 on a
+// hit, else by 1 (reference: src/stats.cpp:312-329).
+void ora_stat_batch(void* h, const uint8_t* bases, int64_t W,
+                    const int32_t* start, const int32_t* rlen,
+                    const int32_t* rows, int64_t nrows,
+                    int64_t* counts, int64_t* dist) {
+    OraDB* db = (OraDB*)h;
+    int eval_len = db->eval_len;
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t row = rows[r];
+        const char* seq = (const char*)bases + row * W + start[row];
+        int n = rlen[row];
+        for (int step : db->steps) {
+            auto mit = db->by_len.find(step);
+            if (mit == db->by_len.end()) continue;
+            auto& m = mit->second;
+            int i = 0;
+            while (i < n - step) {
+                auto it = m.find(std::string_view(seq + i, step));
+                if (it != m.end()) {
+                    int32_t ki = it->second;
+                    counts[ki]++;
+                    int64_t* d = dist + (int64_t)ki * eval_len;
+                    int hi = i + step < eval_len ? i + step : eval_len;
+                    for (int p = i; p < hi; p++) d[p]++;
+                    i += step;
+                }
+                i += 1;
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+namespace {
+
+// reference: src/read.cpp:75-85 (Read::lastIndex)
+inline void last_index(const uint8_t* name, int32_t n,
+                       const uint8_t** out, int32_t* outlen) {
+    *out = name;
+    *outlen = 0;
+    if (n < 5) return;
+    for (int32_t i = n - 3; i >= 0; i--) {
+        if (name[i] == ':' || name[i] == '+') {
+            *out = name + i + 1;
+            *outlen = n - i - 1;
+            return;
+        }
+    }
+}
+
+// reference: src/read.cpp:87-100 (Read::firstIndex)
+inline void first_index(const uint8_t* name, int32_t n,
+                        const uint8_t** out, int32_t* outlen) {
+    *out = name;
+    *outlen = 0;
+    if (n < 5) return;
+    int32_t end = n;
+    for (int32_t i = n - 3; i >= 0; i--) {
+        if (name[i] == '+') end = i - 1;
+        if (name[i] == ':') {
+            *out = name + i + 1;
+            int32_t l = end - i;
+            if (l < 0) l = 0;
+            if (i + 1 + l > n) l = n - i - 1;
+            *outlen = l;
+            return;
+        }
+    }
+}
+
+// name + tag spliced before the first space
+// (reference: src/umiprocessor.cpp:63-83)
+inline uint8_t* splice_umi(uint8_t* o, const uint8_t* name, int32_t nlen,
+                           const uint8_t* delim, int dlen,
+                           const uint8_t* prefix, int plen,
+                           const uint8_t* umi, int32_t ulen,
+                           const uint8_t* umi2, int32_t ulen2) {
+    int32_t space = -1;
+    for (int32_t i = 0; i < nlen; i++)
+        if (name[i] == ' ') { space = i; break; }
+    int32_t head = space < 0 ? nlen : space;
+    o = put(o, name, head);
+    o = put(o, delim, dlen);
+    if (plen) { o = put(o, prefix, plen); *o++ = '_'; }
+    o = put(o, umi, ulen);
+    if (umi2) { *o++ = '_'; o = put(o, umi2, ulen2); }
+    if (space >= 0) o = put(o, name + space, nlen - space);
+    return o;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched UMI extraction + name splicing (reference: src/umiprocessor.cpp:11-83).
+// loc: 1=index1 2=index2 3=read1 4=read2 5=per_index 6=per_read.
+// nb2 may be NULL for single-end.  Writes rebuilt names into out1/out2 with
+// (ooff, olen) tables and per-read head pre-trims into pre1/pre2.
+// Returns bytes written to out1; *out2_written gets out2's size.
+int64_t umi_process(
+    const uint8_t* nb1, const int64_t* noff1, const int32_t* nlen1,
+    const uint8_t* nb2, const int64_t* noff2, const int32_t* nlen2,
+    const uint8_t* bases1, const int32_t* len1,
+    const uint8_t* bases2, const int32_t* len2,
+    int64_t B, int64_t W,
+    int loc, int umi_len, int skip,
+    const uint8_t* prefix, int prefix_len,
+    const uint8_t* delim, int delim_len,
+    uint8_t* out1, int64_t* ooff1, int32_t* olen1,
+    uint8_t* out2, int64_t* ooff2, int32_t* olen2,
+    int32_t* pre1, int32_t* pre2, int64_t* out2_written) {
+    uint8_t* o1 = out1;
+    uint8_t* o2 = out2;
+    bool has2 = nb2 != nullptr;
+    for (int64_t i = 0; i < B; i++) {
+        const uint8_t* n1 = nb1 + noff1[i];
+        int32_t l1 = nlen1[i];
+        const uint8_t* n2 = has2 ? nb2 + noff2[i] : nullptr;
+        int32_t l2 = has2 ? nlen2[i] : 0;
+        const uint8_t* umi = nullptr;
+        int32_t ulen = 0;
+        const uint8_t* umi2 = nullptr;
+        int32_t ulen2 = 0;
+        pre1[i] = 0;
+        pre2[i] = 0;
+        switch (loc) {
+        case 1:  // index1
+            first_index(n1, l1, &umi, &ulen);
+            break;
+        case 2:  // index2
+            if (has2) last_index(n2, l2, &umi, &ulen);
+            break;
+        case 3: {  // read1
+            int32_t sl = len1[i];
+            ulen = umi_len < sl ? umi_len : sl;
+            umi = bases1 + i * W;
+            int32_t p = ulen + skip;
+            if (p > sl - 1) p = sl - 1;
+            if (p < 0) p = 0;
+            pre1[i] = p;
+            break;
+        }
+        case 4: {  // read2
+            if (has2) {
+                int32_t sl = len2[i];
+                ulen = umi_len < sl ? umi_len : sl;
+                umi = bases2 + i * W;
+                int32_t p = ulen + skip;
+                if (p > sl - 1) p = sl - 1;
+                if (p < 0) p = 0;
+                pre2[i] = p;
+            }
+            break;
+        }
+        case 5:  // per_index
+            first_index(n1, l1, &umi, &ulen);
+            if (has2) last_index(n2, l2, &umi2, &ulen2);
+            break;
+        case 6: {  // per_read
+            int32_t sl = len1[i];
+            ulen = umi_len < sl ? umi_len : sl;
+            umi = bases1 + i * W;
+            int32_t p = ulen + skip;
+            if (p > sl - 1) p = sl - 1;
+            if (p < 0) p = 0;
+            pre1[i] = p;
+            if (has2) {
+                int32_t sl2 = len2[i];
+                ulen2 = umi_len < sl2 ? umi_len : sl2;
+                umi2 = bases2 + i * W;
+                int32_t p2 = ulen2 + skip;
+                if (p2 > sl2 - 1) p2 = sl2 - 1;
+                if (p2 < 0) p2 = 0;
+                pre2[i] = p2;
+            }
+            break;
+        }
+        }
+        bool edit;
+        if (loc == 5 || loc == 6)
+            edit = true;  // per_* tags even when parts are empty
+        else
+            edit = ulen > 0;
+        ooff1[i] = o1 - out1;
+        if (edit)
+            o1 = splice_umi(o1, n1, l1, delim, delim_len, prefix, prefix_len,
+                            umi, ulen, umi2, ulen2);
+        else
+            o1 = put(o1, n1, l1);
+        olen1[i] = (int32_t)((o1 - out1) - ooff1[i]);
+        if (has2) {
+            ooff2[i] = o2 - out2;
+            if (edit)
+                o2 = splice_umi(o2, n2, l2, delim, delim_len, prefix, prefix_len,
+                                umi, ulen, umi2, ulen2);
+            else
+                o2 = put(o2, n2, l2);
+            olen2[i] = (int32_t)((o2 - out2) - ooff2[i]);
+        }
+    }
+    *out2_written = o2 - out2;
+    return o1 - out1;
 }
 
 }  // extern "C"

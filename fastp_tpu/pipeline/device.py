@@ -126,7 +126,30 @@ def _apply_polyx_maxlen(w_b, rlen, alive, cfg: DeviceCfg, is_r2: bool):
 
 import os as _os
 
-def pack_for_host(out, B: int, layout: dict):
+def _mega_pack(out: dict, layout: dict):
+    """Fuse every packed output into ONE uint8 buffer.
+
+    Each D2H buffer costs ~3ms of tunnel latency regardless of size; the
+    packed tree still has ~13 leaves (~40ms/batch of pure latency).  One
+    bitcast+concat brings that to one fetch.  Only used off-mesh: on a
+    device mesh the per-read halves shard while stats replicate, which a
+    single fused buffer cannot express."""
+    meta = []
+    parts = []
+    off = 0
+    for k in sorted(out):
+        v = out[k]
+        u8v = v if v.dtype == jnp.uint8 else jax.lax.bitcast_convert_type(v, jnp.uint8)
+        flat = u8v.reshape(-1)
+        n = int(flat.shape[0])
+        meta.append((k, str(v.dtype), tuple(v.shape), off, n))
+        off += n
+        parts.append(flat)
+    layout["mega"] = meta
+    return {"_blob": jnp.concatenate(parts)}
+
+
+def pack_for_host(out, B: int, layout: dict, mega: bool = False):
     """Merge the many per-read/stat outputs into a handful of dense buffers.
 
     Each D2H buffer fetch costs ~3ms of tunnel latency regardless of size;
@@ -191,12 +214,20 @@ def pack_for_host(out, B: int, layout: dict):
     layout["bool_keys"] = b_keys
     layout["stat_keys"] = stat_keys
     layout["stats_shapes"] = stats_shapes
+    if mega:
+        return _mega_pack(out, layout)
+    layout.pop("mega", None)
     return out
 
 
 def unpack_from_host(out: dict, layout: dict) -> dict:
     """Inverse of pack_for_host on fetched numpy arrays."""
     out = dict(out)
+    if "_blob" in out:
+        import numpy as _np
+        blob = out.pop("_blob")
+        for k, dt, shp, off, n in layout["mega"]:
+            out[k] = blob[off:off + n].view(_np.dtype(dt)).reshape(shp)
     if "_corr_i32" in out:
         m = out.pop("_corr_i32")
         for j, k in enumerate(("c1_rows", "c1_pos", "c2_rows", "c2_pos")):
@@ -250,11 +281,11 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def build_se_step(cfg: DeviceCfg, packed: bool = False):
-    """Memoized on (cfg, packed): a resident process (``fastp_tpu serve``)
-    reuses the jitted step — and its loaded TPU executable — across runs,
-    so the one-time compile + device program load is paid once per
-    configuration, not once per job."""
+def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
+    """Memoized on (cfg, packed, mega): a resident process (``fastp_tpu
+    serve``) reuses the jitted step — and its loaded TPU executable —
+    across runs, so the one-time compile + device program load is paid once
+    per configuration, not once per job."""
     fview = _FilterCfgView(cfg)
     layout = {}
 
@@ -285,7 +316,7 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False):
             "rlen_post_adapter": ad["rlen_post_adapter"],
             "polyx_reads": polyx_reads,
             "polyx_bases": polyx_bases,
-        }, B, L), B, layout)
+        }, B, L), B, layout, mega)
 
     if packed:
         def packed_step(p, ei, eb, eq, lengths, pre_trim, index_drop,
@@ -314,8 +345,8 @@ def _unpack_bq(p, idx, base, qual):
 
 
 @functools.lru_cache(maxsize=None)
-def build_pe_step(cfg: DeviceCfg, packed: bool = False):
-    """Memoized on (cfg, packed) — see build_se_step."""
+def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
+    """Memoized on (cfg, packed, mega) — see build_se_step."""
     fview = _FilterCfgView(cfg)
     layout = {}
 
@@ -482,7 +513,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False):
             "isize_hist": isize_hist,
             "corr_matrix": corr_matrix,
         })
-        return pack_for_host(_slim_outputs(out, B, L), B, layout)
+        return pack_for_host(_slim_outputs(out, B, L), B, layout, mega)
 
     if packed:
         def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2,

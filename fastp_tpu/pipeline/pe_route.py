@@ -244,14 +244,9 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
         samp = proc.overrep_post1.sampling
         rows = np.flatnonzero(pair_emit)
         ords = read_passed_start + np.arange(rows.size)
-        sel = (ords % samp) == 0
-        for i, o in zip(rows[sel].tolist(), ords[sel].tolist()):
-            st1 = int(s1.tf[i])
-            st2 = int(s2.tf[i])
-            proc.overrep_post1.stat_read(
-                s1.bases[i, st1:st1 + int(rlen1[i])].tobytes(), o)
-            proc.overrep_post2.stat_read(
-                s2.bases[i, st2:st2 + int(rlen2[i])].tobytes(), o)
+        sel = rows[(ords % samp) == 0].astype(np.int32)
+        proc.overrep_post1.stat_rows(s1.bases, s1.tf, s1.rlen, sel)
+        proc.overrep_post2.stat_rows(s2.bases, s2.tf, s2.rlen, sel)
 
     read_passed += n_pairs
     return parts, read_passed, merged_count

@@ -76,7 +76,7 @@ class _InterleavedPairSource:
 class PairEndProcessor(BaseProcessor):
     def __init__(self, opt: Options):
         super().__init__(opt)
-        inner = build_pe_step(self.cfg)
+        inner = build_pe_step(self.cfg, mega=self._mega)
         self.step_layout = inner.layout
         self.step = self._wrap_step(inner)
         self._packed_step = None
@@ -187,12 +187,16 @@ class PairEndProcessor(BaseProcessor):
                 batch1.set_names([fix_mgi(nm)[0] for nm in batch1.names])
                 batch2.set_names([fix_mgi(nm)[0] for nm in batch2.names])
             if opt.umi.enabled:
-                names1u, names2u, pre_trim1, pre_trim2 = self.umi.process_batch(
-                    batch1.names, _SeqView(batch1), batch2.names, _SeqView(batch2))
-                batch1.set_names(names1u)
-                batch2.set_names(names2u)
-                pre_trim1 = np.asarray(pre_trim1, np.int32)
-                pre_trim2 = np.asarray(pre_trim2, np.int32)
+                res = self.umi.process_batch_arrays(batch1, batch2)
+                if res is not None:
+                    pre_trim1, pre_trim2 = res
+                else:
+                    names1u, names2u, pre_trim1, pre_trim2 = self.umi.process_batch(
+                        batch1.names, _SeqView(batch1), batch2.names, _SeqView(batch2))
+                    batch1.set_names(names1u)
+                    batch2.set_names(names2u)
+                    pre_trim1 = np.asarray(pre_trim1, np.int32)
+                    pre_trim2 = np.asarray(pre_trim2, np.int32)
             else:
                 pre_trim1 = np.zeros(B, np.int32)
                 pre_trim2 = np.zeros(B, np.int32)
@@ -210,14 +214,12 @@ class PairEndProcessor(BaseProcessor):
                 self._pad_batch([b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
                                  index_drop, dedup_out], B,
                                 target=opt.batchSize)
-            # dispatch + fetch run on the single-worker pool: the H2D
-            # staging, device compute, and D2H recv of batch k all overlap
-            # the host-side prep (tokenize/dup/pad) of batch k+1.  One
-            # worker keeps dispatch order == input order.
-            out_dev = self._fetch_pool().submit(
-                lambda a=(b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp,
-                          dedp, valid):
-                jax.device_get(self._dispatch_pe(*a)))
+            # two-stage pipeline: pack+H2D+dispatch of batch k+1 (upload
+            # worker) overlaps the D2H recv of batch k (fetch worker), and
+            # both overlap this host-side prep (tokenize/dup/pad) of k+2
+            out_dev = self._submit_batch(
+                self._dispatch_pe, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
+                idxp, dedp, valid)
             pairs_read += B
             if opt.verbose and pairs_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
@@ -306,9 +308,12 @@ class PairEndProcessor(BaseProcessor):
             # --- overrepresentation sampling (pre) -------------------------
             if self.overrep_pre1.enabled:
                 samp = self.overrep_pre1.sampling
-                for i in range((-pairs_seen) % samp, B, samp):
-                    self.overrep_pre1.stat_read(batch1.seq_bytes(i), pairs_seen + i)
-                    self.overrep_pre2.stat_read(batch2.seq_bytes(i), pairs_seen + i)
+                rows = np.arange((-pairs_seen) % samp, B, samp, dtype=np.int32)
+                zeros = np.zeros(B, np.int32)
+                self.overrep_pre1.stat_rows(batch1.bases, zeros,
+                                            batch1.lengths, rows)
+                self.overrep_pre2.stat_rows(batch2.bases, zeros,
+                                            batch2.lengths, rows)
 
             # --- outputs & filter-result counting --------------------------
             parts = {k: [] for k in ("out1", "out2", "single", "unpaired1",
@@ -516,7 +521,7 @@ class PairEndProcessor(BaseProcessor):
             return self.step(b1p, q1p, l1p, b2p, q2p, l2p,
                              pt1p, pt2p, idxp, dedp, valid)
         if self._packed_step is None:
-            inner = build_pe_step(self.cfg, packed=True)
+            inner = build_pe_step(self.cfg, packed=True, mega=self._mega)
             self.step_layout = inner.layout
             self._packed_step = self._wrap_step(inner)
         p1, e1i, e1b, e1q = pk1
@@ -631,6 +636,9 @@ class PairEndProcessor(BaseProcessor):
 
     def _finish(self) -> Dict:
         opt = self.opt
+        for c in (self.overrep_pre1, self.overrep_pre2,
+                  self.overrep_post1, self.overrep_post2):
+            c.flush()
         from ..parallel import multihost
         if multihost.active():
             # gather every shard's accumulators; only process 0 reports

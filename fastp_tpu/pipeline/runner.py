@@ -51,17 +51,40 @@ def _index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
 
 class _OverRepCounter:
     """Overrepresented-sequence counting on sampled reads
-    (reference: src/stats.cpp:312-329)."""
+    (reference: src/stats.cpp:312-329).  Scanning runs in the native
+    library when available (hash probes per position are the hot part);
+    accumulated counts fold back into the Stats dicts via flush()."""
 
     def __init__(self, stats: Stats, opt: Options):
         self.stats = stats
         self.sampling = opt.overRepAnalysis.sampling
         self.enabled = opt.overRepAnalysis.enabled and len(stats.overrep) > 0
         self.eval_len = stats.evaluated_seq_len
+        self._h = None
+        if self.enabled:
+            from ..io import native as native_mod
+            lib = native_mod.get_lib()
+            if lib is not None:
+                self._lib = lib
+                self._keys = [k.encode("latin-1") for k in stats.overrep]
+                lens = np.array([len(k) for k in self._keys], np.int32)
+                offs = np.zeros(len(self._keys), np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                blob = np.frombuffer(b"".join(self._keys), np.uint8)
+                steps = np.array([10, 20, 40, 100,
+                                  min(150, self.eval_len - 2)], np.int32)
+                self._h = lib.ora_create(blob, offs, lens, len(self._keys),
+                                         self.eval_len, steps, len(steps))
+                self._counts = np.zeros(len(self._keys), np.int64)
+                self._dist = np.zeros((len(self._keys), self.eval_len), np.int64)
 
-    def stat_read(self, seq: bytes, read_index: int):
-        if not self.enabled or read_index % self.sampling != 0:
-            return
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ora_destroy(self._h)
+            self._h = None
+
+    def _scan(self, seq: bytes):
+        """Pure-Python scan of one read (fallback path)."""
         st = self.stats
         rlen = len(seq)
         steps = (10, 20, 40, 100, min(150, self.eval_len - 2))
@@ -77,6 +100,48 @@ class _OverRepCounter:
                     i += step
                 i += 1
 
+    def stat_read(self, seq: bytes, read_index: int):
+        if not self.enabled or read_index % self.sampling != 0:
+            return
+        if self._h is not None:
+            b = np.frombuffer(seq, np.uint8).reshape(1, -1)
+            self._lib.ora_stat_batch(
+                self._h, np.ascontiguousarray(b), b.shape[1],
+                np.zeros(1, np.int32), np.array([len(seq)], np.int32),
+                np.zeros(1, np.int32), 1, self._counts, self._dist)
+        else:
+            self._scan(seq)
+
+    def stat_rows(self, bases: np.ndarray, start, rlen, rows: np.ndarray):
+        """Scan the selected (already sampled) rows of a padded batch."""
+        if not self.enabled or rows.size == 0:
+            return
+        if self._h is not None:
+            self._lib.ora_stat_batch(
+                self._h, np.ascontiguousarray(bases), bases.shape[1],
+                np.ascontiguousarray(start, np.int32),
+                np.ascontiguousarray(rlen, np.int32),
+                np.ascontiguousarray(rows, np.int32), rows.size,
+                self._counts, self._dist)
+        else:
+            for i in rows.tolist():
+                s0 = int(start[i])
+                self._scan(bases[i, s0:s0 + int(rlen[i])].tobytes())
+
+    def flush(self):
+        """Fold native accumulators into the Stats dicts (idempotent)."""
+        if self._h is None or not self.enabled:
+            return
+        st = self.stats
+        for ki, key in enumerate(self._keys):
+            c = int(self._counts[ki])
+            if c:
+                k = key.decode("latin-1")
+                st.overrep[k] += c
+                st.overrep_dist[k] += self._dist[ki]
+        self._counts[:] = 0
+        self._dist[:] = 0
+
 
 class BaseProcessor:
     def __init__(self, opt: Options):
@@ -90,6 +155,8 @@ class BaseProcessor:
         n_dev = opt.deviceCount or jax.local_device_count()
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.n_dev = n_dev if self.mesh is not None else 1
+        # single fused D2H buffer off-mesh; per-leaf shardings on a mesh
+        self._mega = self.mesh is None
 
     def _wrap_step(self, step_fn):
         if self.mesh is None:
@@ -155,12 +222,32 @@ class BaseProcessor:
             self._fetch_exec = ThreadPoolExecutor(max_workers=1)
         return self._fetch_exec
 
+    def _upload_pool(self):
+        """Single-worker executor for input pack + H2D staging + dispatch.
+
+        Separate from the fetch worker so batch k+1's upload overlaps
+        batch k's D2H recv (both block in the tunnel with the GIL
+        released); one worker keeps dispatch order == input order."""
+        if not hasattr(self, "_upload_exec"):
+            from concurrent.futures import ThreadPoolExecutor
+            self._upload_exec = ThreadPoolExecutor(max_workers=1)
+        return self._upload_exec
+
+    def _submit_batch(self, dispatch_fn, *args):
+        """Pipeline one batch: dispatch on the upload worker, fetch on the
+        fetch worker. Returns a future of the fetched numpy tree."""
+        import jax
+        disp = self._upload_pool().submit(dispatch_fn, *args)
+        return self._fetch_pool().submit(
+            lambda: jax.device_get(disp.result()))
+
     def _close_pool(self):
-        """Shut the fetch executor down at end of run (a resident server
-        process would otherwise leak one thread per job)."""
-        if hasattr(self, "_fetch_exec"):
-            self._fetch_exec.shutdown(wait=True)
-            del self._fetch_exec
+        """Shut the executors down at end of run (a resident server
+        process would otherwise leak threads per job)."""
+        for attr in ("_upload_exec", "_fetch_exec"):
+            if hasattr(self, attr):
+                getattr(self, attr).shutdown(wait=True)
+                delattr(self, attr)
 
     def _index_drop_mask(self, names1, names2=None) -> np.ndarray:
         n = len(names1)
@@ -183,7 +270,7 @@ class SingleEndProcessor(BaseProcessor):
 
     def __init__(self, opt: Options):
         super().__init__(opt)
-        inner = build_se_step(self.cfg)
+        inner = build_se_step(self.cfg, mega=self._mega)
         self.step_layout = inner.layout
         self.step = self._wrap_step(inner)
         self._packed_step = None
@@ -200,7 +287,7 @@ class SingleEndProcessor(BaseProcessor):
             return self.step(bases_p, quals_p, lengths_p, pre_trim_p,
                              index_drop_p, dedup_p, valid)
         if self._packed_step is None:
-            inner = build_se_step(self.cfg, packed=True)
+            inner = build_se_step(self.cfg, packed=True, mega=self._mega)
             self.step_layout = inner.layout
             self._packed_step = self._wrap_step(inner)
         p, ei, eb, eq = pk
@@ -258,10 +345,14 @@ class SingleEndProcessor(BaseProcessor):
             if opt.fixMGI:
                 batch.set_names([fix_mgi(nm)[0] for nm in batch.names])
             if opt.umi.enabled:
-                names_u, _, pre_trim, _ = self.umi.process_batch(
-                    batch.names, batch.seqs())
-                batch.set_names(names_u)
-                pre_trim = np.asarray(pre_trim, np.int32)
+                res = self.umi.process_batch_arrays(batch)
+                if res is not None:
+                    pre_trim = res[0]
+                else:
+                    names_u, _, pre_trim, _ = self.umi.process_batch(
+                        batch.names, batch.seqs())
+                    batch.set_names(names_u)
+                    pre_trim = np.asarray(pre_trim, np.int32)
             else:
                 pre_trim = np.zeros(B, np.int32)
 
@@ -275,13 +366,11 @@ class SingleEndProcessor(BaseProcessor):
              dedup_p), valid = self._pad_batch(
                 [batch.bases, batch.quals, batch.lengths, pre_trim,
                  index_drop, dedup_out], B, target=opt.batchSize)
-            # dispatch + fetch on the single-worker pool: upload/compute/
-            # download of batch k overlap the host prep of batch k+1 (see
-            # pe_runner.produce)
-            out_dev = self._fetch_pool().submit(
-                lambda a=(bases_p, quals_p, lengths_p, pre_trim_p,
-                          index_drop_p, dedup_p, valid):
-                jax.device_get(self._dispatch(*a)))
+            # two-stage pipeline: upload+dispatch of batch k+1 overlaps the
+            # D2H fetch of batch k, and both overlap the host prep here
+            out_dev = self._submit_batch(
+                self._dispatch, bases_p, quals_p, lengths_p, pre_trim_p,
+                index_drop_p, dedup_p, valid)
             reads_read += B
             if opt.verbose and reads_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
@@ -327,8 +416,9 @@ class SingleEndProcessor(BaseProcessor):
             # overrepresentation sampling (pre on original, post on emitted)
             if self.overrep_pre.enabled:
                 samp = self.overrep_pre.sampling
-                for i in range((-reads_seen) % samp, B, samp):
-                    self.overrep_pre.stat_read(batch.seq_bytes(i), reads_seen + i)
+                rows = np.arange((-reads_seen) % samp, B, samp, dtype=np.int32)
+                self.overrep_pre.stat_rows(
+                    batch.bases, np.zeros(B, np.int32), lengths, rows)
             # serialization
             emit = out["emit"]
             tf = out["total_front"]
@@ -354,13 +444,10 @@ class SingleEndProcessor(BaseProcessor):
                                   quals_arr[i, s0:s1].tobytes(), b"\n"]
                 blob = b"".join(out_parts)
             if self.overrep_post.enabled:
-                k = 0
-                for i in np.flatnonzero(emit_np):
-                    if k % self.overrep_post.sampling == 0:
-                        s0 = int(tf[i])
-                        self.overrep_post.stat_read(
-                            bases[i, s0:s0 + int(rlen[i])].tobytes(), k)
-                    k += 1
+                rows = np.flatnonzero(emit_np)
+                sel = rows[np.arange(rows.size) % self.overrep_post.sampling == 0]
+                self.overrep_post.stat_rows(bases, tf[:B], rlen[:B],
+                                            sel.astype(np.int32))
             failed_parts = []
             if failed_writer is not None:
                 for i in np.flatnonzero(~emit_np & ~index_drop & ~dedup_out):
@@ -401,6 +488,8 @@ class SingleEndProcessor(BaseProcessor):
 
     def _finish(self) -> Dict:
         opt = self.opt
+        self.overrep_pre.flush()
+        self.overrep_post.flush()
         from ..parallel import multihost
         if multihost.active():
             # gather every shard's accumulators; only process 0 reports

@@ -325,27 +325,34 @@ class HtmlReporter:
             w("<table class='summary_table'>\n")
             frs = result.filter_read_stats
             total = max(pre_reads, 1)
-            w("<tr><td>reads passed filters:</td><td>%s (%.6f%%)</td></tr>\n"
-              % (_fmt_number(frs[PASS_FILTER]), frs[PASS_FILTER] * 100.0 / total))
+            row("reads passed filters:",
+                "%s (%.6f%%)" % (_fmt_number(frs[PASS_FILTER]),
+                                 frs[PASS_FILTER] * 100.0 / total))
             if opt.correction.enabled:
-                w("<tr><td>reads corrected:</td><td>%s (%.6f%%)</td></tr>\n"
-                  % (_fmt_number(result.corrected_reads), result.corrected_reads * 100.0 / total))
-                w("<tr><td>bases corrected:</td><td>%s (%.6f%%)</td></tr>\n"
-                  % (_fmt_number(result.get_total_corrected_bases()),
-                     result.get_total_corrected_bases() * 100.0 / max(pre_bases, 1)))
-            w("<tr><td>reads with low quality:</td><td>%s (%.6f%%)</td></tr>\n"
-              % (_fmt_number(frs[FAIL_QUALITY]), frs[FAIL_QUALITY] * 100.0 / total))
-            w("<tr><td>reads with too many N:</td><td>%s (%.6f%%)</td></tr>\n"
-              % (_fmt_number(frs[FAIL_N_BASE]), frs[FAIL_N_BASE] * 100.0 / total))
+                row("reads corrected:",
+                    "%s (%.6f%%)" % (_fmt_number(result.corrected_reads),
+                                     result.corrected_reads * 100.0 / total))
+                row("bases corrected:",
+                    "%s (%.6f%%)" % (_fmt_number(result.get_total_corrected_bases()),
+                                     result.get_total_corrected_bases() * 100.0 / max(pre_bases, 1)))
+            row("reads with low quality:",
+                "%s (%.6f%%)" % (_fmt_number(frs[FAIL_QUALITY]),
+                                 frs[FAIL_QUALITY] * 100.0 / total))
+            row("reads with too many N:",
+                "%s (%.6f%%)" % (_fmt_number(frs[FAIL_N_BASE]),
+                                 frs[FAIL_N_BASE] * 100.0 / total))
             if opt.lengthFilter.enabled:
-                w("<tr><td>reads too short:</td><td>%s (%.6f%%)</td></tr>\n"
-                  % (_fmt_number(frs[FAIL_LENGTH]), frs[FAIL_LENGTH] * 100.0 / total))
+                row("reads too short:",
+                    "%s (%.6f%%)" % (_fmt_number(frs[FAIL_LENGTH]),
+                                     frs[FAIL_LENGTH] * 100.0 / total))
                 if opt.lengthFilter.maxLength > 0:
-                    w("<tr><td>reads too long:</td><td>%s (%.6f%%)</td></tr>\n"
-                      % (_fmt_number(frs[FAIL_TOO_LONG]), frs[FAIL_TOO_LONG] * 100.0 / total))
+                    row("reads too long:",
+                        "%s (%.6f%%)" % (_fmt_number(frs[FAIL_TOO_LONG]),
+                                         frs[FAIL_TOO_LONG] * 100.0 / total))
             if opt.complexityFilter.enabled:
-                w("<tr><td>reads with low complexity:</td><td>%s (%.6f%%)</td></tr>\n"
-                  % (_fmt_number(frs[FAIL_COMPLEXITY]), frs[FAIL_COMPLEXITY] * 100.0 / total))
+                row("reads with low complexity:",
+                    "%s (%.6f%%)" % (_fmt_number(frs[FAIL_COMPLEXITY]),
+                                     frs[FAIL_COMPLEXITY] * 100.0 / total))
             w("</table>\n</div>\n")
             w("</div>\n")  # closes #summary
 

@@ -30,6 +30,34 @@ class UmiProcessor:
             return name + tag
         return name[:space] + tag + name[space:]
 
+    def process_batch_arrays(self, batch1, batch2=None):
+        """Native batched UMI path straight on the batch buffers: extracts
+        UMIs, rebuilds all names in one C pass, installs them as (blob,
+        offset, length) tables, and returns (pre_trim1, pre_trim2) int32
+        arrays.  Returns None when the native library is unavailable."""
+        from .io import native as native_mod
+        if native_mod.get_lib() is None:
+            return None
+        u = self.opt.umi
+        B = batch1.n
+        nb1, noff1, nlen1 = batch1.name_buffers()
+        if batch2 is not None:
+            nb2, noff2, nlen2 = batch2.name_buffers()
+            nb2v, noff2v, nlen2v = nb2, noff2[:B], nlen2[:B]
+            b2, l2 = batch2.bases, batch2.lengths
+        else:
+            nb2v = noff2v = nlen2v = None
+            b2 = l2 = None
+        r1, r2, pre1, pre2 = native_mod.umi_process(
+            nb1, noff1[:B], nlen1[:B], nb2v, noff2v, nlen2v,
+            batch1.bases, batch1.lengths, b2, l2, batch1.width,
+            u.location, u.length, u.skip,
+            u.prefix.encode(), u.delimiter.encode())
+        batch1.set_name_buffers(*r1)
+        if batch2 is not None and r2 is not None:
+            batch2.set_name_buffers(*r2)
+        return pre1, pre2
+
     def process_batch(self, names1: List[bytes], seqs1: List[bytes],
                       names2: Optional[List[bytes]] = None,
                       seqs2: Optional[List[bytes]] = None):

@@ -5,6 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fastp_tpu.ops import trim as trim_ops
 from fastp_tpu.ops import polyx as polyx_ops
 from fastp_tpu.ops import adapter as adapter_ops

@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow
 """Property test: the vectorized overlap analysis equals a direct Python
 port of the reference's sequential loop (src/overlapanalysis.cpp:16-93),
 including the early-break/complete-compare-require quirk, on random pairs."""

@@ -4,6 +4,8 @@ on hardware)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fastp_tpu.ops import overlap as ov
 from fastp_tpu.ops.overlap_pallas import analyze_pallas
 

@@ -15,8 +15,13 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN = os.path.join(ROOT, "tests", "golden")
+# reference testdata fixtures (vendored copy in tests/testdata; a local
+# reference build's copy is preferred when present so both stay in sync)
 R1 = "/tmp/refbuild/testdata/R1.fq"
 R2 = "/tmp/refbuild/testdata/R2.fq"
+if not os.path.exists(R1):
+    R1 = os.path.join(ROOT, "tests", "testdata", "R1.fq")
+    R2 = os.path.join(ROOT, "tests", "testdata", "R2.fq")
 
 pytestmark = pytest.mark.skipif(not os.path.exists(R1),
                                 reason="reference testdata not available")

@@ -13,8 +13,8 @@ REF = "/tmp/refbuild/fastp"
 R1 = "/tmp/refbuild/testdata/R1.fq"
 R2 = "/tmp/refbuild/testdata/R2.fq"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF),
-                                reason="reference binary not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference binary not available")]
 
 
 def run_ref(workdir, args):

@@ -14,8 +14,8 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/tmp/refbuild/fastp"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF),
-                                reason="reference binary not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference binary not available")]
 
 
 @pytest.fixture(scope="module")
