@@ -497,9 +497,16 @@ class OutputWriter:
     def _emit(self, blob: bytes):
         try:
             if self._zipped:
-                co = zlib.compressobj(self._level, zlib.DEFLATED, 16 + 15)
-                self._fh.write(co.compress(blob))
-                self._fh.write(co.flush())
+                # libdeflate one-member-per-buffer fast path (reference:
+                # src/writer.cpp:110-133); zlib stream fallback
+                from . import native as native_mod
+                gz = None
+                if native_mod.get_lib() is not None:
+                    gz = native_mod.gzip_compress(blob, self._level)
+                if gz is None:
+                    co = zlib.compressobj(self._level, zlib.DEFLATED, 16 + 15)
+                    gz = co.compress(blob) + co.flush()
+                self._fh.write(gz)
             else:
                 self._fh.write(blob)
         except Exception as e:  # surfaced at the next write()/close()

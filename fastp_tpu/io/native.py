@@ -32,17 +32,21 @@ _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 
 
 def _build(lib_path: str) -> bool:
-    cmd = (["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native"]
-           + [s for s in _SRCS if os.path.exists(s)] + ["-o", lib_path])
-    try:
-        r = subprocess.run(cmd, capture_output=True, timeout=300)
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-    if r.returncode != 0:
-        sys.stderr.write("fastp_tpu: native build failed, using Python path:\n"
-                         + r.stderr.decode(errors="replace")[-2000:] + "\n")
-        return False
-    return True
+    base = (["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native"]
+            + [s for s in _SRCS if os.path.exists(s)])
+    # prefer libdeflate-backed gzip (reference: src/writer.cpp:110-133);
+    # fall back to a zlib-only build when the library is absent
+    for extra in (["-DHAVE_LIBDEFLATE", "-ldeflate"], []):
+        try:
+            r = subprocess.run(base + extra + ["-o", lib_path],
+                               capture_output=True, timeout=300)
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+        if r.returncode == 0:
+            return True
+    sys.stderr.write("fastp_tpu: native build failed, using Python path:\n"
+                     + r.stderr.decode(errors="replace")[-2000:] + "\n")
+    return False
 
 
 def _lib_path() -> str:
@@ -100,6 +104,11 @@ def _bind(lib):
         + [ctypes.c_int64, ctypes.c_int64,            # B, W
            _u8p, _i32p, _u8p, _i32p,                  # emitA/tagA/emitB/tagB
            _u8p, _i64p, _i32p, _u8p])                 # tag table, out
+    lib.gzip_compress.restype = ctypes.c_int64
+    lib.gzip_compress.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int,
+                                  _u8p, ctypes.c_int64]
+    lib.gzip_compress_bound.restype = ctypes.c_int64
+    lib.gzip_compress_bound.argtypes = [ctypes.c_int64, ctypes.c_int]
     lib.ora_create.restype = ctypes.c_void_p
     lib.ora_create.argtypes = [_u8p, _i64p, _i32p, ctypes.c_int64,
                                ctypes.c_int, _i32p, ctypes.c_int]
@@ -285,6 +294,23 @@ def umi_process(nb1, noff1, nlen1, nb2, noff2, nlen2,
     r1 = (out1[:int(w1)], ooff1, olen1)
     r2 = (out2[:int(w2.value)], ooff2, olen2) if has2 else None
     return r1, r2, pre1, pre2
+
+
+def gzip_compress(blob: bytes, level: int):
+    """One whole gzip member via libdeflate (reference writer semantics,
+    src/writer.cpp:110-133). Returns bytes or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bound = lib.gzip_compress_bound(len(blob), level)
+    if bound <= 0:
+        return None
+    src = np.frombuffer(blob, np.uint8)
+    out = np.empty(int(bound), np.uint8)
+    n = lib.gzip_compress(src, len(blob), level, out, int(bound))
+    if n <= 0:
+        return None
+    return out[:int(n)].tobytes()
 
 
 def serialize(namebuf, name_off, name_len, strandbuf, strand_off, strand_len,

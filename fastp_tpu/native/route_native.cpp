@@ -25,6 +25,10 @@
 #include <unordered_map>
 #include <vector>
 
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace {
 
 const uint8_t* COMP() {
@@ -178,6 +182,47 @@ int64_t fq_emit_merged(
         }
     }
     return o - out;
+}
+
+// Throughput-grade gzip compression via libdeflate, one whole member per
+// call exactly like the reference writer (src/writer.cpp:110-133).
+// Returns compressed size, 0 if the output buffer is too small, or -1 when
+// built without libdeflate (caller falls back to zlib).
+int64_t gzip_compress(const uint8_t* in, int64_t in_len, int level,
+                      uint8_t* out, int64_t out_cap) {
+#ifdef HAVE_LIBDEFLATE
+    static thread_local struct libdeflate_compressor* comp = nullptr;
+    static thread_local int comp_level = -1;
+    if (comp == nullptr || comp_level != level) {
+        if (comp) libdeflate_free_compressor(comp);
+        comp = libdeflate_alloc_compressor(level);
+        comp_level = level;
+        if (!comp) return -1;
+    }
+    size_t n = libdeflate_gzip_compress(comp, in, (size_t)in_len,
+                                        out, (size_t)out_cap);
+    return (int64_t)n;
+#else
+    (void)in; (void)in_len; (void)level; (void)out; (void)out_cap;
+    return -1;
+#endif
+}
+
+int64_t gzip_compress_bound(int64_t in_len, int level) {
+#ifdef HAVE_LIBDEFLATE
+    static thread_local struct libdeflate_compressor* comp = nullptr;
+    static thread_local int comp_level = -1;
+    if (comp == nullptr || comp_level != level) {
+        if (comp) libdeflate_free_compressor(comp);
+        comp = libdeflate_alloc_compressor(level);
+        comp_level = level;
+        if (!comp) return -1;
+    }
+    return (int64_t)libdeflate_gzip_compress_bound(comp, (size_t)in_len);
+#else
+    (void)in_len; (void)level;
+    return -1;
+#endif
 }
 
 }  // extern "C"

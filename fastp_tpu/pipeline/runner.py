@@ -569,7 +569,6 @@ class SplitWriterSet:
         self.next_worker = 0
         self.worker_split = list(range(1, self.T + 1))  # current file number per worker
         self.worker_count = [0] * self.T
-        self.worker_files = [0] * self.T  # files generated per worker
         self.cur = {}
         self._writers1 = [None] * self.T
         self._writers2 = [None] * self.T
@@ -592,7 +591,6 @@ class SplitWriterSet:
         if self.paired and opt.out2:
             self._writers2[t] = OutputWriter(self._filename(self.worker_split[t], opt.out2),
                                              opt.compression, buffer_size=opt.writerBufferSize)
-        self.worker_files[t] += 1
 
     def write1(self, blob: bytes, processed: int, blob2: bytes = None):
         t = self.next_worker
@@ -608,23 +606,27 @@ class SplitWriterSet:
         self._mark(t, processed)
 
     def _mark(self, t: int, count: int):
-        """reference: src/threadconfig.cpp:127-147"""
+        """reference: src/threadconfig.cpp:127-147 (markProcessed): rotate
+        to the worker's next file number, except in by-file-number mode
+        when the quota is reached — then the current (last) file keeps
+        absorbing reads, and workers beyond number%T stop consuming
+        (their reads are dropped, as the reference's stopped threads
+        leave their remaining packs unconsumed)."""
         opt = self.opt
         self.worker_count[t] += count
         if self.worker_count[t] >= opt.split.size:
-            self.worker_count[t] = 0
-            if opt.split.byFileNumber:
-                # stop when this worker's file quota is reached
-                generated = self.worker_files[t]
-                total_done = generated * self.T  # approximation of cross-worker count
-            self.worker_split[t] += self.T
-            if self._writers1[t]:
-                self._writers1[t].close()
-                self._writers1[t] = None
-            if self._writers2[t]:
-                self._writers2[t].close()
-                self._writers2[t] = None
-            if opt.split.byFileNumber and self.worker_split[t] > opt.split.number:
+            if (opt.split.byFileLines
+                    or (self.worker_split[t] - 1) + self.T < opt.split.number):
+                self.worker_count[t] = 0
+                self.worker_split[t] += self.T
+                if self._writers1[t]:
+                    self._writers1[t].close()
+                    self._writers1[t] = None
+                if self._writers2[t]:
+                    self._writers2[t].close()
+                    self._writers2[t] = None
+            elif (opt.split.number % self.T > 0
+                    and t >= opt.split.number % self.T):
                 self.finished[t] = True
 
     def close(self):

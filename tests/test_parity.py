@@ -97,3 +97,12 @@ def test_cfg6_failed_unpaired(tmp_path):
                        "--unpaired2", "up2.fq", "-l", "100"])
     compare_dir(tmp_path, "cfg6_failed",
                 ["out1.fq", "out2.fq", "failed.fq", "up1.fq", "up2.fq", "fastp.json"])
+
+
+def test_cfg7_split_by_number(tmp_path):
+    # file-boundary parity for --split (reference: src/threadconfig.cpp:127-147)
+    run_cli(tmp_path, ["-i", R1, "-I", R2, "-o", "out1.fq", "-O", "out2.fq",
+                       "-s", "3", "-w", "1"])
+    compare_dir(tmp_path, "cfg7_split",
+                ["0001.out1.fq", "0001.out2.fq", "0002.out1.fq",
+                 "0002.out2.fq", "0003.out1.fq", "0003.out2.fq", "fastp.json"])
