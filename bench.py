@@ -130,7 +130,10 @@ def measure_ours():
     workdir = os.path.join(BENCH_DIR, "tpu_run")
     os.makedirs(workdir, exist_ok=True)
     env = _client_env()
-    cmd = [sys.executable, "-m", "fastp_tpu"] + ARGS + ["--batch_size", "16384"]
+    # one fixed batch shape per server: the TPU server caches ~one loaded
+    # executable, so alternating shapes would force reloads.  32k batches
+    # measured best on the tunnel (fewer, larger transfers).
+    cmd = [sys.executable, "-m", "fastp_tpu"] + ARGS + ["--batch_size", "32768"]
 
     server = _start_server(env)
     runs = []

@@ -32,8 +32,14 @@ _BASE_CODE[ord("G")] = 31
 _BASE_CODE_F = _BASE_CODE.astype(np.float64)
 
 
+_prime_cache = {}
+
+
 def _gen_primes(count: int) -> np.ndarray:
-    """reference: src/duplicate.cpp:66-84 (10000-stride prime walk)."""
+    """reference: src/duplicate.cpp:66-84 (10000-stride prime walk).
+    Memoized: a resident server creates one Duplicate per job."""
+    if count in _prime_cache:
+        return _prime_cache[count]
     out = np.zeros(count, np.uint64)
     number = 10000
     found = 0
@@ -50,6 +56,7 @@ def _gen_primes(count: int) -> np.ndarray:
             out[found] = number
             found += 1
             number += 10000
+    _prime_cache[count] = out
     return out
 
 

@@ -104,6 +104,13 @@ def _bind(lib):
         + [ctypes.c_int64, ctypes.c_int64,            # B, W
            _u8p, _i32p, _u8p, _i32p,                  # emitA/tagA/emitB/tagB
            _u8p, _i64p, _i32p, _u8p])                 # tag table, out
+    lib.index_filter.restype = None
+    lib.index_filter.argtypes = [
+        _u8p, _i64p, _i32p,                                 # names 1
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # names 2 (opt)
+        _u8p, _i64p, _i32p, ctypes.c_int32,                 # blacklist 1
+        _u8p, _i64p, _i32p, ctypes.c_int32,                 # blacklist 2
+        ctypes.c_int, ctypes.c_int64, _u8p]                 # threshold, B, out
     lib.gzip_compress.restype = ctypes.c_int64
     lib.gzip_compress.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int,
                                   _u8p, ctypes.c_int64]

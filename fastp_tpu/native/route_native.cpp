@@ -475,4 +475,52 @@ int64_t umi_process(
     return o1 - out1;
 }
 
+// Index-blacklist filtering (reference: src/filter.cpp:224-258):
+// drop a pair when first_index(name1) matches blacklist1 or
+// last_index(name2) matches blacklist2 within `threshold` mismatches.
+// nb2 may be NULL (single-end: only blacklist1 applies).
+void index_filter(
+    const uint8_t* nb1, const int64_t* noff1, const int32_t* nlen1,
+    const uint8_t* nb2, const int64_t* noff2, const int32_t* nlen2,
+    const uint8_t* bl1, const int64_t* bl1_off, const int32_t* bl1_len,
+    int32_t n_bl1,
+    const uint8_t* bl2, const int64_t* bl2_off, const int32_t* bl2_len,
+    int32_t n_bl2,
+    int threshold, int64_t B, uint8_t* drop) {
+    auto match = [&](const uint8_t* blob, const int64_t* boff,
+                     const int32_t* blen, int32_t n_bl,
+                     const uint8_t* idx, int32_t ilen) -> bool {
+        for (int32_t k = 0; k < n_bl; k++) {
+            const uint8_t* item = blob + boff[k];
+            int32_t m = blen[k] < ilen ? blen[k] : ilen;
+            int diff = 0;
+            bool ok = true;
+            for (int32_t s = 0; s < m; s++) {
+                if (item[s] != idx[s]) {
+                    if (++diff > threshold) { ok = false; break; }
+                }
+            }
+            if (ok && diff <= threshold) return true;
+        }
+        return false;
+    };
+    for (int64_t i = 0; i < B; i++) {
+        drop[i] = 0;
+        const uint8_t* idx1;
+        int32_t il1;
+        first_index(nb1 + noff1[i], nlen1[i], &idx1, &il1);
+        if (n_bl1 && match(bl1, bl1_off, bl1_len, n_bl1, idx1, il1)) {
+            drop[i] = 1;
+            continue;
+        }
+        if (nb2 != nullptr && n_bl2) {
+            const uint8_t* idx2;
+            int32_t il2;
+            last_index(nb2 + noff2[i], nlen2[i], &idx2, &il2);
+            if (match(bl2, bl2_off, bl2_len, n_bl2, idx2, il2))
+                drop[i] = 1;
+        }
+    }
+}
+
 }  // extern "C"

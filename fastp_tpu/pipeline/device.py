@@ -406,7 +406,9 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
         isize_hist = jnp.zeros((cfg.insert_size_max + 1,), jnp.int32).at[
             jnp.where(both, isize, cfg.insert_size_max)].add(both.astype(jnp.int32))
 
-        CORR_C = 2048
+        # sparse-correction slot budget scales with batch so realistic
+        # error rates never overflow into the per-row host recompute
+        CORR_C = max(2048, B // 2)
         if cfg.correction_enabled:
             do = ov_ok & ~ov["has_gap"]
             (w1, wq1, w2, wq2, corr_matrix, corrected, r1c, r2c, masks) = \

@@ -58,7 +58,7 @@ class PairWindowView:
     """Per-batch lazy view of windowed (possibly corrected) pair content."""
 
     def __init__(self, seqs1, quals1, seqs2, quals2, out: Dict,
-                 correction_enabled: bool, width: int, corr_c: int = 2048):
+                 correction_enabled: bool, width: int, corr_c: int = None):
         self.seqs1 = seqs1
         self.quals1 = quals1
         self.seqs2 = seqs2
@@ -69,6 +69,8 @@ class PairWindowView:
         self._cache: Dict[int, Tuple[bytes, bytes, bytes, bytes]] = {}
         self.correction = correction_enabled
         if correction_enabled:
+            if corr_c is None:
+                corr_c = out["c1_rows"].shape[0]  # capacity baked into the step
             n1 = int(out["c1_count"])
             n2 = int(out["c2_count"])
             self.overflow = n1 > corr_c or n2 > corr_c

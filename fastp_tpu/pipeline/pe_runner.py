@@ -179,10 +179,7 @@ class PairEndProcessor(BaseProcessor):
                 batch2 = batch2.widen(w)
             self.width = batch1.width
 
-            if opt.indexFilter.enabled:
-                index_drop = self._index_drop_mask(batch1.names, batch2.names)
-            else:
-                index_drop = np.zeros(B, bool)
+            index_drop = self._index_drop_mask_batches(batch1, batch2)
             if opt.fixMGI:
                 batch1.set_names([fix_mgi(nm)[0] for nm in batch1.names])
                 batch2.set_names([fix_mgi(nm)[0] for nm in batch2.names])
@@ -229,15 +226,27 @@ class PairEndProcessor(BaseProcessor):
             return (out_dev, batch1, batch2, B, index_drop,
                     pre_trim1, pre_trim2, dedup_out)
 
+        import os as _os
+        import time as _time
+        timing = _os.environ.get("FASTP_TPU_TIMING")
+        t_prod = t_fetch = t_route = t_flush = 0.0
+
+        _t = _time.monotonic()
         pending = produce()
+        t_prod += _time.monotonic() - _t
         while pending is not None:
+            _t = _time.monotonic()
             nxt = produce()  # dispatch k+1 before fetching k
+            t_prod += _time.monotonic() - _t
             (out, batch1, batch2, B, index_drop,
              pre_trim1, pre_trim2, dedup_out) = pending
             # ONE batched D2H fetch of the packed buffers (each buffer costs
             # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
             from .device import unpack_from_host
+            _t = _time.monotonic()
             out = unpack_from_host(out.result(), self.step_layout)
+            t_fetch += _time.monotonic() - _t
+            _t = _time.monotonic()
 
             self.pre_stats1.add_batch(out["pre1"])
             self.pre_stats2.add_batch(out["pre2"])
@@ -476,6 +485,8 @@ class PairEndProcessor(BaseProcessor):
             if merge_on:
                 self.filter_result.add_merged_pairs(merged_count)
 
+            t_route += _time.monotonic() - _t
+            _t = _time.monotonic()
             # flush parts to writers
             if opt.outputToSTDOUT:
                 blob = b"".join(parts["merged"] if merge_on else parts["single"])
@@ -490,9 +501,15 @@ class PairEndProcessor(BaseProcessor):
                     if key in writers and parts[key]:
                         writers[key].write(b"".join(parts[key]))
 
+            t_flush += _time.monotonic() - _t
             pairs_seen += B
             pending = nxt
 
+        if timing:
+            sys.stderr.write(
+                "TIMING produce=%.2fs fetch_wait=%.2fs route=%.2fs "
+                "flush=%.2fs pairs=%d\n"
+                % (t_prod, t_fetch, t_route, t_flush, pairs_seen))
         if opt.verbose:
             from ..utils.log import loginfo
             loginfo("batch loop done (%d pairs)" % pairs_seen)
@@ -576,11 +593,12 @@ class PairEndProcessor(BaseProcessor):
                             batch.quals[i, p0:ln].tobytes(), b"\n"]
 
     def _patch_corrections(self, batch1: ArrayBatch, batch2: ArrayBatch,
-                           out, B: int, C: int = 2048):
+                           out, B: int):
         """Apply the device's sparse correction deltas in place to the padded
         arrays so the native serializer emits corrected content.  Overflowing
-        batches (count > C) are recomputed exactly on host
+        batches (count > capacity) are recomputed exactly on host
         (reference: src/basecorrector.cpp:16-83)."""
+        C = out["c1_rows"].shape[0]  # slot capacity baked into the step
         n1 = int(out["c1_count"])
         n2 = int(out["c2_count"])
         if n1 == 0 and n2 == 0:

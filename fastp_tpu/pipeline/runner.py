@@ -264,6 +264,54 @@ class BaseProcessor:
                 mask[i] = True
         return mask
 
+    @staticmethod
+    def _blacklist_blob(items):
+        lens = np.array([len(s) for s in items], np.int32)
+        offs = np.zeros(len(items), np.int64)
+        if len(items) > 1:
+            np.cumsum(lens[:-1], out=offs[1:])
+        blob = np.frombuffer(b"".join(s.encode("latin-1") for s in items)
+                             or b"\0", np.uint8)
+        return blob, offs, lens
+
+    def _index_drop_mask_batches(self, batch1, batch2=None) -> np.ndarray:
+        """Native batched index-blacklist filter over the raw name buffers
+        (reference: src/filter.cpp:224-258); Python fallback per name."""
+        B = batch1.n
+        if not self.opt.indexFilter.enabled:
+            return np.zeros(B, bool)
+        import ctypes
+        from ..io import native as native_mod
+        lib = native_mod.get_lib()
+        if lib is None:
+            return self._index_drop_mask(
+                batch1.names, batch2.names if batch2 is not None else None)
+        if not hasattr(self, "_bl_cache"):
+            self._bl_cache = (
+                self._blacklist_blob(self.opt.indexFilter.blacklist1),
+                self._blacklist_blob(self.opt.indexFilter.blacklist2))
+        (b1b, b1o, b1l), (b2b, b2o, b2l) = self._bl_cache
+        nb1, noff1, nlen1 = batch1.name_buffers()
+        drop = np.zeros(B, np.uint8)
+        if batch2 is not None:
+            nb2, noff2, nlen2 = batch2.name_buffers()
+            nb2c = np.ascontiguousarray(nb2)
+            noff2c = np.ascontiguousarray(noff2[:B], np.int64)
+            nlen2c = np.ascontiguousarray(nlen2[:B], np.int32)
+            p2 = (nb2c.ctypes.data_as(ctypes.c_void_p),
+                  noff2c.ctypes.data_as(ctypes.c_void_p),
+                  nlen2c.ctypes.data_as(ctypes.c_void_p))
+        else:
+            p2 = (None, None, None)
+        lib.index_filter(
+            np.ascontiguousarray(nb1),
+            np.ascontiguousarray(noff1[:B], np.int64),
+            np.ascontiguousarray(nlen1[:B], np.int32),
+            p2[0], p2[1], p2[2],
+            b1b, b1o, b1l, len(b1l), b2b, b2o, b2l, len(b2l),
+            self.opt.indexFilter.threshold, B, drop)
+        return drop.astype(bool)
+
 
 class SingleEndProcessor(BaseProcessor):
     """reference: src/seprocessor.cpp:196-315"""
@@ -338,10 +386,7 @@ class SingleEndProcessor(BaseProcessor):
             B = batch.n
             self.width = batch.width
 
-            if opt.indexFilter.enabled:
-                index_drop = self._index_drop_mask(batch.names)
-            else:
-                index_drop = np.zeros(B, bool)
+            index_drop = self._index_drop_mask_batches(batch)
             if opt.fixMGI:
                 batch.set_names([fix_mgi(nm)[0] for nm in batch.names])
             if opt.umi.enabled:

@@ -116,3 +116,27 @@ def test_batch_driver(tmp_path):
     golden = open(os.path.join(ROOT, "tests", "golden",
                                "cfg2_pe_default", "out1.fq"), "rb").read()
     assert got == golden
+
+
+def test_index_filter_native_matches_python(tmp_path):
+    # native index_filter (route_native.cpp) vs the per-name Python path
+    import subprocess, sys, os
+    from test_parity import R1, R2, ROOT
+    idx = tmp_path / "bl.txt"
+    idx.write_text("TATAGCCT\n")
+    outs = {}
+    for tag, extra_env in (("native", {}), ("python", {"FASTP_TPU_NO_NATIVE": "1"})):
+        d = tmp_path / tag
+        d.mkdir()
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   JAX_PLATFORM_NAME="cpu",
+                   PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+                   **extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "fastp_tpu", "-i", R1, "-I", R2,
+             "-o", "o1.fq", "-O", "o2.fq",
+             "--filter_by_index1", str(idx), "--filter_by_index_threshold", "1"],
+            cwd=str(d), env=env, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = ((d / "o1.fq").read_bytes(), (d / "o2.fq").read_bytes())
+    assert outs["native"] == outs["python"]
