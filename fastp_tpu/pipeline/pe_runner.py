@@ -229,15 +229,17 @@ class PairEndProcessor(BaseProcessor):
         import os as _os
         import time as _time
         timing = _os.environ.get("FASTP_TPU_TIMING")
-        t_prod = t_fetch = t_route = t_flush = 0.0
+        t_fetch = t_route = t_flush = 0.0
+        t_prod = [0.0]  # accumulated on the prep worker
 
-        _t = _time.monotonic()
-        pending = produce()
-        t_prod += _time.monotonic() - _t
-        while pending is not None:
-            _t = _time.monotonic()
-            nxt = produce()  # dispatch k+1 before fetching k
-            t_prod += _time.monotonic() - _t
+        def produce_timed():
+            _t0 = _time.monotonic()
+            try:
+                return produce()
+            finally:
+                t_prod[0] += _time.monotonic() - _t0
+
+        for pending in self._batch_stream(produce_timed):
             (out, batch1, batch2, B, index_drop,
              pre_trim1, pre_trim2, dedup_out) = pending
             # ONE batched D2H fetch of the packed buffers (each buffer costs
@@ -261,7 +263,7 @@ class PairEndProcessor(BaseProcessor):
             rlen2 = out["rlen2"]
             view = PairWindowView(_SeqView(batch1), _SeqView(batch1, True),
                                   _SeqView(batch2), _SeqView(batch2, True),
-                                  out, opt.correction.enabled, self.width)
+                                  out, opt.correction.enabled, batch1.width)
 
             # --- adapter recording -----------------------------------------
             if opt.adapter.enabled:
@@ -503,13 +505,12 @@ class PairEndProcessor(BaseProcessor):
 
             t_flush += _time.monotonic() - _t
             pairs_seen += B
-            pending = nxt
 
         if timing:
             sys.stderr.write(
                 "TIMING produce=%.2fs fetch_wait=%.2fs route=%.2fs "
                 "flush=%.2fs pairs=%d\n"
-                % (t_prod, t_fetch, t_route, t_flush, pairs_seen))
+                % (t_prod[0], t_fetch, t_route, t_flush, pairs_seen))
         if opt.verbose:
             from ..utils.log import loginfo
             loginfo("batch loop done (%d pairs)" % pairs_seen)

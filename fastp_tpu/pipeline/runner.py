@@ -233,6 +233,31 @@ class BaseProcessor:
             self._upload_exec = ThreadPoolExecutor(max_workers=1)
         return self._upload_exec
 
+    def _prep_pool(self):
+        """Single-worker executor running produce() (tokenize + host pre +
+        dispatch submission) ahead of the main loop: the heavy host prep of
+        batches k+1/k+2 overlaps batch k's routing/serialization and the
+        tunnel transfers.  One worker keeps reader/dup state sequential."""
+        if not hasattr(self, "_prep_exec"):
+            from concurrent.futures import ThreadPoolExecutor
+            self._prep_exec = ThreadPoolExecutor(max_workers=1)
+        return self._prep_exec
+
+    def _batch_stream(self, produce, depth: int = 2):
+        """Yield produce() results with `depth` calls in flight on the prep
+        worker (the generator ends at the first None)."""
+        from collections import deque
+        pool = self._prep_pool()
+        q = deque(pool.submit(produce) for _ in range(depth))
+        while True:
+            item = q.popleft().result()
+            if item is None:
+                for f in q:  # drain the speculative Nones
+                    f.result()
+                return
+            q.append(pool.submit(produce))
+            yield item
+
     def _submit_batch(self, dispatch_fn, *args):
         """Pipeline one batch: dispatch on the upload worker, fetch on the
         fetch worker. Returns a future of the fetched numpy tree."""
@@ -244,7 +269,7 @@ class BaseProcessor:
     def _close_pool(self):
         """Shut the executors down at end of run (a resident server
         process would otherwise leak threads per job)."""
-        for attr in ("_upload_exec", "_fetch_exec"):
+        for attr in ("_prep_exec", "_upload_exec", "_fetch_exec"):
             if hasattr(self, attr):
                 getattr(self, attr).shutdown(wait=True)
                 delattr(self, attr)
@@ -423,9 +448,7 @@ class SingleEndProcessor(BaseProcessor):
                 loginfo("loaded %dM reads" % (reads_read // 1000000))
             return (out_dev, batch, B, index_drop, pre_trim, dedup_out)
 
-        pending = produce()
-        while pending is not None:
-            nxt = produce()  # dispatch k+1 before fetching k
+        for pending in self._batch_stream(produce):
             out, batch, B, index_drop, pre_trim, dedup_out = pending
             bases, quals_arr, lengths = batch.bases, batch.quals, batch.lengths
             # ONE batched D2H fetch of the packed buffers (each buffer costs
@@ -512,7 +535,6 @@ class SingleEndProcessor(BaseProcessor):
                 failed_writer.write(b"".join(failed_parts))
 
             reads_seen += B
-            pending = nxt
 
         if opt.verbose:
             from ..utils.log import loginfo
