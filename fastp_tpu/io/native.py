@@ -257,7 +257,13 @@ def umi_process(nb1, noff1, nlen1, nb2, noff2, nlen2,
     lib = get_lib()
     assert lib is not None
     B = len(nlen1)
-    extra = len(delim) + len(prefix) + 2 + 2 * max(umi_len, 64)
+    # worst-case tag: delim + prefix + '_' + umi1 + '_' + umi2, where an
+    # index-derived UMI can be as long as the whole read name and a
+    # read-derived UMI at most umi_len; bound by the larger of the two
+    max_n1 = int(np.asarray(nlen1).max(initial=0))
+    max_n2 = int(np.asarray(nlen2).max(initial=0)) if nlen2 is not None else 0
+    extra = (len(delim) + len(prefix) + 3
+             + max(umi_len, max_n1) + max(umi_len, max_n2))
     cap1 = int(np.asarray(nlen1).sum()) + B * extra + 64
     out1 = np.empty(cap1, np.uint8)
     ooff1 = np.empty(B, np.int64)

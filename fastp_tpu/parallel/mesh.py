@@ -33,11 +33,13 @@ def init_distributed():
     if _dist_initialized:
         return True
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        _dist_initialized = True
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        # latch only after success so a transient coordinator failure can
+        # be retried by a later job in the same (resident) process
+        _dist_initialized = True
         return True
     return False
 

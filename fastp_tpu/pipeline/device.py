@@ -280,12 +280,14 @@ def _slim_outputs(out, B: int, L: int):
 import functools
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
     """Memoized on (cfg, packed, mega): a resident process (``fastp_tpu
     serve``) reuses the jitted step — and its loaded TPU executable —
     across runs, so the one-time compile + device program load is paid once
-    per configuration, not once per job."""
+    per configuration, not once per job.  Bounded LRU: a server handling
+    many distinct configurations evicts cold steps (letting their compiled
+    executables be collected) instead of growing without limit."""
     fview = _FilterCfgView(cfg)
     layout = {}
 
@@ -344,7 +346,7 @@ def _unpack_bq(p, idx, base, qual):
     return b, q
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
     """Memoized on (cfg, packed, mega) — see build_se_step."""
     fview = _FilterCfgView(cfg)

@@ -93,13 +93,15 @@ def _emit_merged(lib, s1: _Side, s2: _Side, B: int, W: int,
 
 
 def route_pe(proc, out: Dict, batch1, batch2, B: int,
-             index_drop, pre_trim1, pre_trim2, dedup_out,
-             read_passed_start: int):
+             index_drop, pre_trim1, pre_trim2, dedup_out):
     """Route one PE batch into output stream blobs.
 
     Returns (parts: {stream: bytes}, read_passed, merged_count) and applies
     filter-result counting + post-ORA sampling as the per-row loop would.
-    Caller must have patched corrections into the batch arrays already.
+    The failed stream is emitted BEFORE corrections are patched into the
+    batch arrays (the reference writes the pristine originals to
+    --failed_out, src/peprocessor.cpp:553-579 uses or1/or2); every
+    windowed stream is emitted after patching.
     """
     lib = native_mod.get_lib()
     opt = proc.opt
@@ -152,13 +154,9 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
             umA = um & r1ok & ~dedup_out
             umB = um & r2ok & ~dedup_out
             read_passed += int((um & r1ok & r2ok).sum())
-        if m_emit.any() or umA.any() or umB.any():
-            parts["merged"] = _emit_merged(
-                lib, s1, s2, B, W, m_emit,
-                out["m_len1"][:B], out["m_len2"][:B], out["ovm_olen"][:B],
-                umA, umB)
     else:
         normal = active
+        m_emit = umA = umB = zeros_u8
 
     # --- non-merged routing (reference: src/peprocessor.cpp:525-579) ------
     fr.add_filter_result_array(
@@ -168,6 +166,52 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
     p1only = live & pass1 & ~pass2
     p2only = live & pass2 & ~pass1
     n_pairs = int(pair_emit.sum())
+
+    has_up1 = bool(opt.unpaired1) and not opt.split.enabled
+    has_up2 = (bool(opt.unpaired2) and opt.unpaired2 != opt.unpaired1
+               and not opt.split.enabled)
+    has_failed = bool(opt.failedOut) and not opt.split.enabled
+
+    # corrections land in the arrays now: every stream below carries the
+    # processed content.  The reference's trimAndCut/correction mutate the
+    # one Read object in place, so even --failed_out shows the processed
+    # window for reads that survived trimming; only a trim-killed read
+    # (r == NULL) keeps its pristine bytes (src/filter.cpp:83-222,
+    # src/peprocessor.cpp:551-577)
+    if opt.correction.enabled:
+        proc._patch_corrections(batch1, batch2, out, B)
+
+    if has_failed:
+        # NOTE the reference writes NOTHING to --failed_out when both
+        # mates fail (there is no both-fail branch in
+        # src/peprocessor.cpp:551-577); only single-fail pairs emit
+        emitA = np.zeros(B, np.uint8)
+        emitB = np.zeros(B, np.uint8)
+        tagA = neg1.copy()
+        tagB = neg1.copy()
+        # r1 passed alone: r2 failed-out (window if it survived trimming,
+        # pristine bytes if trim killed it); r1 joins as
+        # "paired_read_is_failing" only when it has no unpaired home
+        emitB[p1only] = np.where(alive2[p1only], 1, 2)
+        tagB[p1only] = result2[p1only]
+        if not has_up1:
+            emitA[p1only] = 1  # the passing mate is alive by definition
+            tagA[p1only] = _PAIRED_TAG_ID
+        # r2 passed alone: symmetric
+        emitA[p2only] = np.where(alive1[p2only], 1, 2)
+        tagA[p2only] = result1[p2only]
+        if not (has_up2 or has_up1):
+            emitB[p2only] = 1
+            tagB[p2only] = _PAIRED_TAG_ID
+        if emitA.any() or emitB.any():
+            parts["failed"] = _emit_routed(
+                lib, s1, s2, B, W, emitA, tagA, emitB, tagB)
+
+    if merge_on and (m_emit.any() or umA.any() or umB.any()):
+        parts["merged"] = _emit_merged(
+            lib, s1, s2, B, W, m_emit,
+            out["m_len1"][:B], out["m_len2"][:B], out["ovm_olen"][:B],
+            umA, umB)
 
     if n_pairs:
         if opt.outputToSTDOUT and not merge_on:
@@ -182,11 +226,6 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
                 s2.nb, s2.noff, s2.nlen, s2.sb, s2.soff, s2.slen,
                 s2.bases, s2.quals, s2.tf, s2.rlen, emitp, W)
 
-    has_up1 = bool(opt.unpaired1) and not opt.split.enabled
-    has_up2 = (bool(opt.unpaired2) and opt.unpaired2 != opt.unpaired1
-               and not opt.split.enabled)
-    has_failed = bool(opt.failedOut) and not opt.split.enabled
-
     if has_up1 and (p1only.any() or (not has_up2 and p2only.any())):
         # r2-only survivors fall back to unpaired1 when unpaired2 is absent
         # (reference: src/peprocessor.cpp:566-568)
@@ -196,35 +235,6 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
     if has_up2 and p2only.any():
         parts["unpaired2"] = _emit_routed(
             lib, s1, s2, B, W, zeros_u8, neg1, p2only, neg1)
-
-    if has_failed:
-        fail_both = live & ~pass1 & ~pass2
-        emitA = np.zeros(B, np.uint8)
-        emitB = np.zeros(B, np.uint8)
-        tagA = neg1.copy()
-        tagB = neg1.copy()
-        # both fail: each with its own verdict tag
-        emitA[fail_both] = 2
-        tagA[fail_both] = result1[fail_both]
-        emitB[fail_both] = 2
-        tagB[fail_both] = result2[fail_both]
-        # r1 passed alone: r2 always failed-out; r1 failed-out as
-        # "paired_read_is_failing" only when it has no unpaired home
-        emitB[p1only] = 2
-        tagB[p1only] = result2[p1only]
-        if not has_up1:
-            emitA[p1only] = 2
-            tagA[p1only] = _PAIRED_TAG_ID
-        # r2 passed alone: r1 failed-out; r2 tagged paired_read_is_failing
-        # only when it has no unpaired home
-        emitA[p2only] = 2
-        tagA[p2only] = result1[p2only]
-        if not (has_up2 or has_up1):
-            emitB[p2only] = 2
-            tagB[p2only] = _PAIRED_TAG_ID
-        if emitA.any() or emitB.any():
-            parts["failed"] = _emit_routed(
-                lib, s1, s2, B, W, emitA, tagA, emitB, tagB)
 
     # overlapped_out stream (reference quirk: portion AFTER the overlap;
     # src/peprocessor.cpp:461-468 — not gated on index/dedup drops)
@@ -243,7 +253,8 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
     if proc.overrep_post1.enabled and not merge_on and n_pairs:
         samp = proc.overrep_post1.sampling
         rows = np.flatnonzero(pair_emit)
-        ords = read_passed_start + np.arange(rows.size)
+        # ordinal restarts per batch, matching the per-row fallback loop
+        ords = np.arange(rows.size)
         sel = rows[(ords % samp) == 0].astype(np.int32)
         proc.overrep_post1.stat_rows(s1.bases, s1.tf, s1.rlen, sel)
         proc.overrep_post2.stat_rows(s2.bases, s2.tf, s2.rlen, sel)

@@ -246,7 +246,8 @@ class PairEndProcessor(BaseProcessor):
             # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
             from .device import unpack_from_host
             _t = _time.monotonic()
-            out = unpack_from_host(out.result(), self.step_layout)
+            fetched, layout = out.result()
+            out = unpack_from_host(fetched, layout)
             t_fetch += _time.monotonic() - _t
             _t = _time.monotonic()
 
@@ -337,7 +338,9 @@ class PairEndProcessor(BaseProcessor):
             read_passed = 0
             post1_extra = 0
 
-            if opt.overlappedOut:
+            routed = native_mod.get_lib() is not None
+            if opt.overlappedOut and not routed:
+                # (route_pe emits this stream natively on the routed path)
                 ov0 = out["ov0_ok"]
                 for i in np.flatnonzero(ov0):
                     off = max(0, int(out["ov0_offset"][i]))
@@ -360,14 +363,11 @@ class PairEndProcessor(BaseProcessor):
                 ovm_ol = out["ovm_olen"]
                 self.post_stats1.add_batch(out["post_merged"])
 
-            routed = native_mod.get_lib() is not None
             if routed:
-                if opt.correction.enabled:
-                    self._patch_corrections(batch1, batch2, out, B)
                 from .pe_route import route_pe
                 rparts, read_passed, merged_count = route_pe(
                     self, out, batch1, batch2, B, index_drop,
-                    pre_trim1, pre_trim2, dedup_out, 0)
+                    pre_trim1, pre_trim2, dedup_out)
                 for k, v in rparts.items():
                     parts[k].append(v)
                 if merge_on and opt.merge.includeUnmerged:
@@ -442,20 +442,27 @@ class PairEndProcessor(BaseProcessor):
                                 self.overrep_post2.stat_read(s2, read_passed)
                         read_passed += 1
                     elif pass1[i]:
+                        fail2 = (view.r2(i, int(rlen2[i]))
+                                 if out["alive2"][i] else None)
                         if opt.unpaired1:
                             s1w, q1w = view.r1(i, int(rlen1[i]))
                             parts["unpaired1"] += [batch1.name(i), b"\n", s1w, b"\n",
                                                    batch1.strand(i), b"\n", q1w, b"\n"]
                             if opt.failedOut:
                                 self._failed_row(parts, batch2, i, pre_trim2[i],
-                                                 FAILED_TYPES[int(result2[i])])
+                                                 FAILED_TYPES[int(result2[i])],
+                                                 win=fail2)
                         else:
                             if opt.failedOut:
                                 self._failed_row(parts, batch1, i, pre_trim1[i],
-                                                 "paired_read_is_failing")
+                                                 "paired_read_is_failing",
+                                                 win=view.r1(i, int(rlen1[i])))
                                 self._failed_row(parts, batch2, i, pre_trim2[i],
-                                                 FAILED_TYPES[int(result2[i])])
+                                                 FAILED_TYPES[int(result2[i])],
+                                                 win=fail2)
                     elif pass2[i]:
+                        fail1 = (view.r1(i, int(rlen1[i]))
+                                 if out["alive1"][i] else None)
                         target = None
                         if opt.unpaired2 and opt.unpaired2 != opt.unpaired1:
                             target = "unpaired2"
@@ -467,19 +474,18 @@ class PairEndProcessor(BaseProcessor):
                                               batch2.strand(i), b"\n", q2w, b"\n"]
                             if opt.failedOut:
                                 self._failed_row(parts, batch1, i, pre_trim1[i],
-                                                 FAILED_TYPES[int(result1[i])])
+                                                 FAILED_TYPES[int(result1[i])],
+                                                 win=fail1)
                         else:
                             if opt.failedOut:
                                 self._failed_row(parts, batch1, i, pre_trim1[i],
-                                                 FAILED_TYPES[int(result1[i])])
+                                                 FAILED_TYPES[int(result1[i])],
+                                                 win=fail1)
                                 self._failed_row(parts, batch2, i, pre_trim2[i],
-                                                 "paired_read_is_failing")
-                    else:
-                        if opt.failedOut:
-                            self._failed_row(parts, batch1, i, pre_trim1[i],
-                                             FAILED_TYPES[int(result1[i])])
-                            self._failed_row(parts, batch2, i, pre_trim2[i],
-                                             FAILED_TYPES[int(result2[i])])
+                                                 "paired_read_is_failing",
+                                                 win=view.r2(i, int(rlen2[i])))
+                    # both-fail pairs write NOTHING to --failed_out
+                    # (no such branch in src/peprocessor.cpp:551-577)
 
             if not merge_on:
                 self.post_stats1.add_batch(out["post1"])
@@ -493,6 +499,11 @@ class PairEndProcessor(BaseProcessor):
             if opt.outputToSTDOUT:
                 blob = b"".join(parts["merged"] if merge_on else parts["single"])
                 sys.stdout.buffer.write(blob)
+                # file-backed side streams still flush in stdout mode
+                # (the reference keeps failed/unpaired/overlapped writers)
+                for key in ("unpaired1", "unpaired2", "failed", "overlapped"):
+                    if key in writers and parts[key]:
+                        writers[key].write(b"".join(parts[key]))
             elif split is not None:
                 split.write1(b"".join(parts["out1"]),
                              read_passed if opt.split.byFileLines else B,
@@ -583,15 +594,22 @@ class PairEndProcessor(BaseProcessor):
             np.add.at(st.kmer, keys[ok], 1)
         st._summarized = False
 
-    def _failed_row(self, parts, batch: ArrayBatch, i: int, pre_trim, tag):
-        p0 = int(pre_trim)
-        ln = int(batch.lengths[i])
+    def _failed_row(self, parts, batch: ArrayBatch, i: int, pre_trim, tag,
+                    win=None):
+        """win = (seq, qual) processed-window bytes for a read that survived
+        trimming (the reference mutates the Read in place, so failed output
+        shows the processed content); None = trim-killed, pristine bytes."""
         if isinstance(tag, str):
             tag = tag.encode()
-        parts["failed"] += [batch.name(i) + b" " + tag, b"\n",
-                            batch.bases[i, p0:ln].tobytes(), b"\n",
-                            batch.strand(i), b"\n",
-                            batch.quals[i, p0:ln].tobytes(), b"\n"]
+        if win is not None:
+            seq, qual = win
+        else:
+            p0 = int(pre_trim)
+            ln = int(batch.lengths[i])
+            seq = batch.bases[i, p0:ln].tobytes()
+            qual = batch.quals[i, p0:ln].tobytes()
+        parts["failed"] += [batch.name(i) + b" " + tag, b"\n", seq, b"\n",
+                            batch.strand(i), b"\n", qual, b"\n"]
 
     def _patch_corrections(self, batch1: ArrayBatch, batch2: ArrayBatch,
                            out, B: int):

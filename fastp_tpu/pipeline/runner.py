@@ -260,11 +260,25 @@ class BaseProcessor:
 
     def _submit_batch(self, dispatch_fn, *args):
         """Pipeline one batch: dispatch on the upload worker, fetch on the
-        fetch worker. Returns a future of the fetched numpy tree."""
+        fetch worker. Returns a future of (fetched numpy tree, layout).
+
+        The layout dict is snapshotted right after this batch's dispatch
+        (= after any retrace for a new shape), because a later batch's
+        retrace mutates the shared step.layout before this batch is
+        unpacked — the prefetch pipeline makes that ordering routine."""
         import jax
-        disp = self._upload_pool().submit(dispatch_fn, *args)
-        return self._fetch_pool().submit(
-            lambda: jax.device_get(disp.result()))
+
+        def _dispatch_snap():
+            out = dispatch_fn(*args)
+            return out, dict(self.step_layout)
+
+        disp = self._upload_pool().submit(_dispatch_snap)
+
+        def _fetch():
+            out, layout = disp.result()
+            return jax.device_get(out), layout
+
+        return self._fetch_pool().submit(_fetch)
 
     def _close_pool(self):
         """Shut the executors down at end of run (a resident server
@@ -454,7 +468,8 @@ class SingleEndProcessor(BaseProcessor):
             # ONE batched D2H fetch of the packed buffers (each buffer costs
             # ~3ms of tunnel latency; the packed tree has ~8 leaves, not 80)
             from .device import unpack_from_host
-            out = unpack_from_host(out.result(), self.step_layout)
+            fetched, layout = out.result()
+            out = unpack_from_host(fetched, layout)
 
             self.pre_stats.add_batch(out["pre"])
             self.post_stats.add_batch(out["post"])
@@ -518,14 +533,25 @@ class SingleEndProcessor(BaseProcessor):
                                             sel.astype(np.int32))
             failed_parts = []
             if failed_writer is not None:
+                # failed reads show the processed window when they survived
+                # trimming, pristine bytes when trim killed them (the
+                # reference mutates the Read in place: src/seprocessor.cpp:273)
+                alive = out["alive"]
                 for i in np.flatnonzero(~emit_np & ~index_drop & ~dedup_out):
-                    p0 = int(pre_trim[i])
-                    ln = int(lengths[i])
                     tag = FAILED_TYPES[int(result[i])].encode()
+                    if alive[i]:
+                        s0 = int(tf[i])
+                        s1 = s0 + int(rlen[i])
+                        seq = bases[i, s0:s1].tobytes()
+                        qual = quals_arr[i, s0:s1].tobytes()
+                    else:
+                        p0 = int(pre_trim[i])
+                        ln = int(lengths[i])
+                        seq = bases[i, p0:ln].tobytes()
+                        qual = quals_arr[i, p0:ln].tobytes()
                     failed_parts += [batch.name(i) + b" " + tag, b"\n",
-                                     bases[i, p0:ln].tobytes(), b"\n",
-                                     batch.strand(i), b"\n",
-                                     quals_arr[i, p0:ln].tobytes(), b"\n"]
+                                     seq, b"\n", batch.strand(i), b"\n",
+                                     qual, b"\n"]
 
             if split is not None:
                 split.write1(blob, post_count if opt.split.byFileLines else B)

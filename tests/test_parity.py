@@ -106,3 +106,15 @@ def test_cfg7_split_by_number(tmp_path):
     compare_dir(tmp_path, "cfg7_split",
                 ["0001.out1.fq", "0001.out2.fq", "0002.out1.fq",
                  "0002.out2.fq", "0003.out1.fq", "0003.out2.fq", "fastp.json"])
+
+
+def test_cfg8_failed_with_cutting(tmp_path):
+    # failed/unpaired/overlapped routing under correction + window cutting:
+    # failed reads carry the processed window (reference mutates Reads in
+    # place) and both-fail pairs emit nothing (src/peprocessor.cpp:551-577)
+    run_cli(tmp_path, ["-i", R1, "-I", R2, "-o", "o1.fq", "-O", "o2.fq",
+                       "--correction", "--cut_right", "--failed_out", "failed.fq",
+                       "--unpaired1", "up1.fq", "--overlapped_out", "ov.fq",
+                       "-l", "100"])
+    compare_dir(tmp_path, "cfg8_failed_cut",
+                ["o1.fq", "o2.fq", "failed.fq", "up1.fq", "ov.fq", "fastp.json"])
