@@ -74,3 +74,24 @@ def test_cfg5_html(tmp_path):
                        "--out1", "out1.fq", "--out2", "out2.fq", "--dedup",
                        "--dup_calc_accuracy", "1", "--overrepresentation_analysis"])
     check_html(tmp_path, "cfg5_merge")
+
+
+def test_long_read_html_log_axis(tmp_path):
+    # >300-cycle reads switch the curve plots to a log x-axis with
+    # geometric cycle downsampling (reference: src/stats.cpp:761-804)
+    import random
+    random.seed(7)
+    fq = tmp_path / "long.fq"
+    with open(fq, "w") as f:
+        for i in range(40):
+            seq = "".join(random.choice("ACGT") for _ in range(420))
+            f.write("@r%d\n%s\n+\n%s\n" % (i, seq, "F" * 420))
+    run_cli(tmp_path, ["-i", str(fq), "-o", "out.fq"])
+    with open(tmp_path / "fastp.html") as f:
+        html = f.read()
+    assert ",type:'log'" in html
+    # downsampled x grid: first 40 cycles dense, then geometric; far fewer
+    # points than 420
+    m = re.search(r"x:\[([0-9,]+)\],y:", html)
+    xs = m.group(1).split(",")
+    assert len(xs) < 120 and xs[-1] == "420"
