@@ -178,6 +178,12 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False):
                       and v.shape[0] == B and v.dtype == jnp.int16)
     if i16_keys:
         out["_i16"] = jnp.stack([out.pop(k) for k in i16_keys])
+    # 1a) [B] bias-64 int8 scalars -> one [K, B] matrix
+    i8_keys = sorted(k for k, v in out.items()
+                     if not isinstance(v, dict) and getattr(v, "ndim", 0) == 1
+                     and v.shape[0] == B and v.dtype == jnp.int8)
+    if i8_keys:
+        out["_i8"] = jnp.stack([out.pop(k) for k in i8_keys])
     # 1b) [B] int32 scalars (long-read mode skips the i16 downcast)
     i32_keys = sorted(k for k, v in out.items()
                       if not isinstance(v, dict) and getattr(v, "ndim", 0) == 1
@@ -210,6 +216,7 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False):
         out["_stats_" + k] = jnp.concatenate(
             [d[dk].astype(jnp.int32).reshape(-1) for dk in dkeys])
     layout["i16_keys"] = i16_keys
+    layout["i8_keys"] = i8_keys
     layout["i32_keys"] = i32_keys
     layout["bool_keys"] = b_keys
     layout["stat_keys"] = stat_keys
@@ -242,6 +249,11 @@ def unpack_from_host(out: dict, layout: dict) -> dict:
             m = out.pop(packed)
             for j, k in enumerate(layout[lkey]):
                 out[k] = m[j]
+    if "_i8" in out:
+        import numpy as _np
+        m = out.pop("_i8").astype(_np.int16)
+        for j, k in enumerate(layout["i8_keys"]):
+            out[k] = m[j] + _I8_BIAS
     if "_bool" in out:
         m = out.pop("_bool")
         for j, k in enumerate(layout["bool_keys"]):
@@ -261,9 +273,23 @@ def unpack_from_host(out: dict, layout: dict) -> dict:
     return out
 
 
+# per-read fields whose values are statically within [-64, 191] whenever
+# the padded width is <= 190: these ship as bias-64 int8 (half of int16).
+# ov_offset (can reach -(W-overlapRequire)) and ad_pos (can reach -adapter
+# length) stay int16.
+_I8_KEYS = frozenset((
+    "rlen", "rlen1", "rlen2", "total_front", "total_front1", "total_front2",
+    "result", "result1", "result2", "rlen_pre_adapter", "rlen_post_adapter",
+    "rlen1_pre_adapter", "rlen1_post_adapter", "rlen2_pre_adapter",
+    "rlen2_post_adapter", "rlen1_pre_ovtrim", "rlen2_pre_ovtrim",
+    "ov_olen", "ov_diff"))
+_I8_BIAS = 64
+
+
 def _slim_outputs(out, B: int, L: int):
-    """Downcast [B] int32 per-read outputs to int16 when the read width
-    guarantees they fit — halves the per-read D2H bytes over the tunnel.
+    """Downcast [B] int32 per-read outputs to int16 — and the statically
+    byte-ranged ones to bias-64 int8 — when the read width guarantees they
+    fit; the per-read matrix dominates D2H bytes over the tunnel.
     Row-index lists stay int32 (they index up to B)."""
     if L > 32000 or _os.environ.get("FASTP_TPU_NO_SLIM"):
         return out
@@ -273,7 +299,10 @@ def _slim_outputs(out, B: int, L: int):
         if (not isinstance(v, dict) and k not in keep_i32
                 and getattr(v, "ndim", 0) == 1 and v.shape[0] == B
                 and v.dtype == jnp.int32):
-            out[k] = v.astype(jnp.int16)
+            if L <= 190 and k in _I8_KEYS:
+                out[k] = (v - _I8_BIAS).astype(jnp.int8)
+            else:
+                out[k] = v.astype(jnp.int16)
     return out
 
 
