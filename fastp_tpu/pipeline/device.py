@@ -149,7 +149,8 @@ def _mega_pack(out: dict, layout: dict):
     return {"_blob": jnp.concatenate(parts)}
 
 
-def pack_for_host(out, B: int, layout: dict, mega: bool = False):
+def pack_for_host(out, B: int, layout: dict, mega: bool = False,
+                  width: int = 0):
     """Merge the many per-read/stat outputs into a handful of dense buffers.
 
     Each D2H buffer fetch costs ~3ms of tunnel latency regardless of size;
@@ -164,10 +165,18 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False):
         layout["stat_keys"] = []
         layout["stats_shapes"] = {}
         return out
-    # 0) sparse correction lists + scalar counters -> three buffers
+    # 0) sparse correction lists + scalar counters -> three buffers;
+    #    rows fit uint16 / window positions fit uint8 for typical shapes
     if "c1_rows" in out:
-        out["_corr_i32"] = jnp.stack([out.pop(k) for k in
-                                      ("c1_rows", "c1_pos", "c2_rows", "c2_pos")])
+        rows = jnp.stack([out.pop("c1_rows"), out.pop("c2_rows")])
+        pos = jnp.stack([out.pop("c1_pos"), out.pop("c2_pos")])
+        if B <= 65535 and 0 < width <= 65535:
+            # row indices < B and window positions < width both fit u16
+            out["_corr_rows"] = rows.astype(jnp.uint16)
+            out["_corr_pos"] = pos.astype(jnp.uint16)
+        else:
+            out["_corr_rows"] = rows
+            out["_corr_pos"] = pos
         out["_corr_u8"] = jnp.stack([out.pop(k) for k in
                                      ("c1_base", "c1_qual", "c2_base", "c2_qual")])
         out["_corr_n"] = jnp.stack([out.pop("c1_count"), out.pop("c2_count"),
@@ -229,16 +238,17 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False):
 
 def unpack_from_host(out: dict, layout: dict) -> dict:
     """Inverse of pack_for_host on fetched numpy arrays."""
+    import numpy as np
     out = dict(out)
     if "_blob" in out:
-        import numpy as _np
         blob = out.pop("_blob")
         for k, dt, shp, off, n in layout["mega"]:
-            out[k] = blob[off:off + n].view(_np.dtype(dt)).reshape(shp)
-    if "_corr_i32" in out:
-        m = out.pop("_corr_i32")
-        for j, k in enumerate(("c1_rows", "c1_pos", "c2_rows", "c2_pos")):
-            out[k] = m[j]
+            out[k] = blob[off:off + n].view(np.dtype(dt)).reshape(shp)
+    if "_corr_rows" in out:
+        m = out.pop("_corr_rows").astype(np.int32)
+        out["c1_rows"], out["c2_rows"] = m[0], m[1]
+        m = out.pop("_corr_pos").astype(np.int32)
+        out["c1_pos"], out["c2_pos"] = m[0], m[1]
         m = out.pop("_corr_u8")
         for j, k in enumerate(("c1_base", "c1_qual", "c2_base", "c2_qual")):
             out[k] = m[j]
@@ -250,8 +260,7 @@ def unpack_from_host(out: dict, layout: dict) -> dict:
             for j, k in enumerate(layout[lkey]):
                 out[k] = m[j]
     if "_i8" in out:
-        import numpy as _np
-        m = out.pop("_i8").astype(_np.int16)
+        m = out.pop("_i8").astype(np.int16)
         for j, k in enumerate(layout["i8_keys"]):
             out[k] = m[j] + _I8_BIAS
     if "_bool" in out:
@@ -347,7 +356,7 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             "rlen_post_adapter": ad["rlen_post_adapter"],
             "polyx_reads": polyx_reads,
             "polyx_bases": polyx_bases,
-        }, B, L), B, layout, mega)
+        }, B, L), B, layout, mega, L)
 
     if packed:
         def packed_step(p, ei, eb, eq, lengths, pre_trim, index_drop,
@@ -546,7 +555,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             "isize_hist": isize_hist,
             "corr_matrix": corr_matrix,
         })
-        return pack_for_host(_slim_outputs(out, B, L), B, layout, mega)
+        return pack_for_host(_slim_outputs(out, B, L), B, layout, mega, L)
 
     if packed:
         def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2,
