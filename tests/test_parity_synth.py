@@ -78,3 +78,38 @@ def test_synth_pe_correction(corpus, tmp_path):
     run_ref(ref, args)
     run_mine(mine, args)
     compare(ref, mine, ["out1.fq", "out2.fq", "fastp.json"])
+
+
+def test_synth_pe_merge_routing(corpus, tmp_path):
+    # exercises the native router's merged stream at scale
+    ref = tmp_path / "ref"
+    mine = tmp_path / "mine"
+    ref.mkdir()
+    mine.mkdir()
+    args = ["-i", str(corpus / "R1.fq"), "-I", str(corpus / "R2.fq"),
+            "--merge", "--merged_out", "merged.fq",
+            "--out1", "out1.fq", "--out2", "out2.fq",
+            "-a", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",
+            "--adapter_sequence_r2", "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"]
+    run_ref(ref, args)
+    run_mine(mine, args)
+    compare(ref, mine, ["merged.fq", "out1.fq", "out2.fq", "fastp.json"])
+
+
+def test_synth_pe_failed_unpaired_routing(corpus, tmp_path):
+    # exercises the native router's failed/unpaired streams under cutting +
+    # correction at scale (processed-window failed semantics)
+    ref = tmp_path / "ref"
+    mine = tmp_path / "mine"
+    ref.mkdir()
+    mine.mkdir()
+    args = ["-i", str(corpus / "R1.fq"), "-I", str(corpus / "R2.fq"),
+            "-o", "out1.fq", "-O", "out2.fq", "--correction", "--cut_right",
+            "--failed_out", "failed.fq", "--unpaired1", "up1.fq",
+            "--unpaired2", "up2.fq", "-l", "140",
+            "-a", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",
+            "--adapter_sequence_r2", "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"]
+    run_ref(ref, args)
+    run_mine(mine, args)
+    compare(ref, mine, ["out1.fq", "out2.fq", "failed.fq", "up1.fq",
+                        "up2.fq", "fastp.json"])
