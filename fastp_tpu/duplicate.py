@@ -32,6 +32,33 @@ _BASE_CODE[ord("G")] = 31
 _BASE_CODE_F = _BASE_CODE.astype(np.float64)
 
 
+# Bloom-buffer pool for resident-server processes: faulting in ~1 GB of
+# fresh zero pages costs ~0.4 s on every job's first batches; recycled
+# buffers are re-zeroed off the critical path when the filter is released.
+_buf_pool = {}
+_buf_pool_lock = __import__("threading").Lock()
+
+
+def _acquire_buf(n_bytes: int) -> np.ndarray:
+    with _buf_pool_lock:
+        lst = _buf_pool.get(n_bytes)
+        if lst:
+            return lst.pop()
+    return np.zeros(n_bytes, np.uint8)
+
+
+def _release_bufs(bufs) -> None:
+    import threading
+
+    def rezero():
+        for b in bufs:
+            b[:] = 0
+            with _buf_pool_lock:
+                _buf_pool.setdefault(b.nbytes, []).append(b)
+
+    threading.Thread(target=rezero, daemon=True).start()
+
+
 _prime_cache = {}
 
 
@@ -84,7 +111,7 @@ class Duplicate:
         self.buf_num = buf_num
         self.buf_len_bits = buf_len_bytes << 3
         self.offset_mask = PRIME_ARRAY_LEN * buf_num - 1
-        self.bufs = [np.zeros(buf_len_bytes, np.uint8) for _ in range(buf_num)]
+        self.bufs = [_acquire_buf(buf_len_bytes) for _ in range(buf_num)]
         self.primes = _gen_primes(buf_num * PRIME_ARRAY_LEN).astype(np.int64)
         self.total_reads = 0
         self.dup_reads = 0
@@ -193,3 +220,9 @@ class Duplicate:
         if self.total_reads == 0:
             return 0.0
         return self.dup_reads / self.total_reads
+
+    def release(self) -> None:
+        """Return the bit buffers to the process-wide pool (re-zeroed on a
+        background thread); the filter must not be used afterwards."""
+        bufs, self.bufs = self.bufs, []
+        _release_bufs(bufs)

@@ -727,6 +727,8 @@ class PairEndProcessor(BaseProcessor):
         hr.set_insert_hist(self.insert_hist, peak)
         hr.report(self.filter_result, self.pre_stats1, self.post_stats1,
                   self.pre_stats2, self.post_stats2)
+        if self.duplicate is not None:
+            self.duplicate.release()  # recycle the Bloom buffers (server)
         return {"pre1": self.pre_stats1, "post1": self.post_stats1,
                 "pre2": self.pre_stats2, "post2": self.post_stats2,
                 "filter": self.filter_result, "dup_rate": dup_rate,

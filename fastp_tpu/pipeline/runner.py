@@ -607,6 +607,8 @@ class SingleEndProcessor(BaseProcessor):
         hr = HtmlReporter(opt)
         hr.set_dup(dup_rate)
         hr.report(self.filter_result, self.pre_stats, self.post_stats)
+        if self.duplicate is not None:
+            self.duplicate.release()  # recycle the Bloom buffers (server)
         return {"pre": self.pre_stats, "post": self.post_stats,
                 "filter": self.filter_result, "dup_rate": dup_rate}
 
