@@ -141,8 +141,12 @@ def measure_ours():
     try:
         for k in range(REPEATS + 1):
             t0 = time.time()
-            subprocess.run(cmd, cwd=workdir, env=env, check=True,
-                           capture_output=True, timeout=7200)
+            try:
+                subprocess.run(cmd, cwd=workdir, env=env, check=True,
+                               capture_output=True, timeout=7200)
+            except subprocess.SubprocessError as e:
+                sys.stderr.write("bench: run %d failed (%s)\n" % (k, e))
+                continue
             dt = time.time() - t0
             if k == 0:
                 warmup = dt  # pays PJRT init + compile + TPU program load
