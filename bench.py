@@ -148,19 +148,28 @@ def measure_ours():
                 sys.stderr.write("bench: run %d failed (%s)\n" % (k, e))
                 continue
             dt = time.time() - t0
-            if k == 0:
-                warmup = dt  # pays PJRT init + compile + TPU program load
+            if warmup is None:
+                # the FIRST SUCCESSFUL run absorbs PJRT init + compile +
+                # TPU program load, whichever attempt it was
+                warmup = dt
             else:
                 runs.append(dt)
     finally:
         if server is not None:
             _stop_server(server, env)
-    if not runs:  # server never came up: cold per-process fallback
+    if not runs:  # server path yielded nothing: cold per-process fallback
         for _ in range(REPEATS):
             t0 = time.time()
-            subprocess.run(cmd, cwd=workdir, env=dict(env, FASTP_TPU_SERVER=""),
-                           check=True, capture_output=True, timeout=7200)
+            try:
+                subprocess.run(cmd, cwd=workdir,
+                               env=dict(env, FASTP_TPU_SERVER=""),
+                               check=True, capture_output=True, timeout=7200)
+            except subprocess.SubprocessError as e:
+                sys.stderr.write("bench: cold run failed (%s)\n" % (e,))
+                continue
             runs.append(time.time() - t0)
+    if not runs:
+        return 0.0, [], warmup  # emit an explicit zero rather than dying
     return 2 * N_PAIRS / min(runs), runs, warmup
 
 

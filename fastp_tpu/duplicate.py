@@ -32,11 +32,16 @@ _BASE_CODE[ord("G")] = 31
 _BASE_CODE_F = _BASE_CODE.astype(np.float64)
 
 
+import threading
+
 # Bloom-buffer pool for resident-server processes: faulting in ~1 GB of
 # fresh zero pages costs ~0.4 s on every job's first batches; recycled
 # buffers are re-zeroed off the critical path when the filter is released.
+# Only ONE size class is retained (the most recent) so a server cycling
+# through accuracy levels doesn't accumulate every configuration's peak.
 _buf_pool = {}
-_buf_pool_lock = __import__("threading").Lock()
+_buf_pool_lock = threading.Lock()
+_BUF_POOL_MAX = 3  # buffers kept per size (accuracy 6 uses 3)
 
 
 def _acquire_buf(n_bytes: int) -> np.ndarray:
@@ -48,13 +53,16 @@ def _acquire_buf(n_bytes: int) -> np.ndarray:
 
 
 def _release_bufs(bufs) -> None:
-    import threading
-
     def rezero():
         for b in bufs:
             b[:] = 0
             with _buf_pool_lock:
-                _buf_pool.setdefault(b.nbytes, []).append(b)
+                for size in list(_buf_pool):
+                    if size != b.nbytes:
+                        del _buf_pool[size]
+                lst = _buf_pool.setdefault(b.nbytes, [])
+                if len(lst) < _BUF_POOL_MAX:
+                    lst.append(b)
 
     threading.Thread(target=rezero, daemon=True).start()
 

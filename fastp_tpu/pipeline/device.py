@@ -231,8 +231,16 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False,
     layout["stat_keys"] = stat_keys
     layout["stats_shapes"] = stats_shapes
     if mega:
-        return _mega_pack(out, layout)
-    layout.pop("mega", None)
+        out = _mega_pack(out, layout)
+    else:
+        layout.pop("mega", None)
+    # per-shape registry: retracing at a new (B, width) must not invalidate
+    # the layout of a shape that may still be dispatched later (a jit cache
+    # hit does not re-run this code, so the flat entries alone go stale)
+    layout[("shape", B, width)] = {
+        k: layout[k] for k in ("i16_keys", "i8_keys", "i32_keys",
+                               "bool_keys", "stat_keys", "stats_shapes",
+                               "mega") if k in layout}
     return out
 
 
@@ -304,11 +312,14 @@ def _slim_outputs(out, B: int, L: int):
         return out
     # row-index lists also fit int16 whenever B does
     keep_i32 = () if B <= 32767 else ("c1_rows", "c2_rows")
+    # int8 biasing is only invertible through unpack_from_host, which the
+    # FASTP_TPU_NO_PACK escape hatch bypasses
+    use_i8 = L <= 190 and not _os.environ.get("FASTP_TPU_NO_PACK")
     for k, v in list(out.items()):
         if (not isinstance(v, dict) and k not in keep_i32
                 and getattr(v, "ndim", 0) == 1 and v.shape[0] == B
                 and v.dtype == jnp.int32):
-            if L <= 190 and k in _I8_KEYS:
+            if use_i8 and k in _I8_KEYS:
                 out[k] = (v - _I8_BIAS).astype(jnp.int8)
             else:
                 out[k] = v.astype(jnp.int16)

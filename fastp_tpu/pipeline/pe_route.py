@@ -98,10 +98,11 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
 
     Returns (parts: {stream: bytes}, read_passed, merged_count) and applies
     filter-result counting + post-ORA sampling as the per-row loop would.
-    The failed stream is emitted BEFORE corrections are patched into the
-    batch arrays (the reference writes the pristine originals to
-    --failed_out, src/peprocessor.cpp:553-579 uses or1/or2); every
-    windowed stream is emitted after patching.
+    Corrections are patched into the batch arrays before ANY stream is
+    emitted: the reference's trimAndCut/BaseCorrector mutate the one Read
+    object in place, so even --failed_out carries the processed window for
+    reads that survived trimming (only trim-killed reads keep pristine
+    bytes, and both-fail pairs emit nothing; src/peprocessor.cpp:551-577).
     """
     lib = native_mod.get_lib()
     opt = proc.opt

@@ -77,9 +77,10 @@ class PairEndProcessor(BaseProcessor):
     def __init__(self, opt: Options):
         super().__init__(opt)
         inner = build_pe_step(self.cfg, mega=self._mega)
-        self.step_layout = inner.layout
+        self._plain_layout = inner.layout
         self.step = self._wrap_step(inner)
         self._packed_step = None
+        self._packed_layout = None
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         self.pre_stats1 = Stats(opt, False, self.width)
         self.post_stats1 = Stats(opt, False, self.width * 2)
@@ -499,9 +500,12 @@ class PairEndProcessor(BaseProcessor):
             if opt.outputToSTDOUT:
                 blob = b"".join(parts["merged"] if merge_on else parts["single"])
                 sys.stdout.buffer.write(blob)
-                # file-backed side streams still flush in stdout mode
-                # (the reference keeps failed/unpaired/overlapped writers)
-                for key in ("unpaired1", "unpaired2", "failed", "overlapped"):
+                # file-backed side streams still flush in stdout mode (the
+                # reference keeps every writer; in merge+stdout mode the
+                # unmerged passing pairs go to out1/out2 writers while the
+                # merged stream goes to stdout)
+                for key in ("out1", "out2", "unpaired1", "unpaired2",
+                            "failed", "overlapped"):
                     if key in writers and parts[key]:
                         writers[key].write(b"".join(parts[key]))
             elif split is not None:
@@ -544,19 +548,21 @@ class PairEndProcessor(BaseProcessor):
 
     def _dispatch_pe(self, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
                      idxp, dedp, valid):
+        """Returns (device outputs, layout dict of the step that ran)."""
         pk1 = self._try_pack_inputs(b1p, q1p)
         pk2 = self._try_pack_inputs(b2p, q2p) if pk1 is not None else None
         if pk1 is None or pk2 is None:
             return self.step(b1p, q1p, l1p, b2p, q2p, l2p,
-                             pt1p, pt2p, idxp, dedp, valid)
+                             pt1p, pt2p, idxp, dedp, valid), self._plain_layout
         if self._packed_step is None:
             inner = build_pe_step(self.cfg, packed=True, mega=self._mega)
-            self.step_layout = inner.layout
+            self._packed_layout = inner.layout
             self._packed_step = self._wrap_step(inner)
         p1, e1i, e1b, e1q = pk1
         p2, e2i, e2b, e2q = pk2
         return self._packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
-                                 l1p, l2p, pt1p, pt2p, idxp, dedp, valid)
+                                 l1p, l2p, pt1p, pt2p, idxp, dedp,
+                                 valid), self._packed_layout
 
     def _stat_post1_read(self, seq: bytes, qual: bytes):
         """Single-read post-stats accumulation for includeUnmerged mode."""
@@ -680,6 +686,8 @@ class PairEndProcessor(BaseProcessor):
         if multihost.active():
             # gather every shard's accumulators; only process 0 reports
             if not multihost.merge_processor_stats(self, is_pe=True):
+                if self.duplicate is not None:
+                    self.duplicate.release()
                 return {"pre1": self.pre_stats1, "post1": self.post_stats1,
                         "pre2": self.pre_stats2, "post2": self.post_stats2,
                         "filter": self.filter_result, "dup_rate": 0.0,

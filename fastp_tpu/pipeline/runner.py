@@ -268,9 +268,15 @@ class BaseProcessor:
         unpacked — the prefetch pipeline makes that ordering routine."""
         import jax
 
+        key = ("shape", args[0].shape[0], args[0].shape[1])
+
         def _dispatch_snap():
-            out = dispatch_fn(*args)
-            return out, dict(self.step_layout)
+            out, layout_all = dispatch_fn(*args)
+            snap = layout_all.get(key)
+            if snap is None:  # debug paths without a shape entry
+                snap = {k: v for k, v in layout_all.items()
+                        if not isinstance(k, tuple)}
+            return out, snap
 
         disp = self._upload_pool().submit(_dispatch_snap)
 
@@ -358,9 +364,10 @@ class SingleEndProcessor(BaseProcessor):
     def __init__(self, opt: Options):
         super().__init__(opt)
         inner = build_se_step(self.cfg, mega=self._mega)
-        self.step_layout = inner.layout
+        self._plain_layout = inner.layout
         self.step = self._wrap_step(inner)
         self._packed_step = None
+        self._packed_layout = None
         self.pre_stats = Stats(opt, False, self.width)
         self.post_stats = Stats(opt, False, self.width)
         self.filter_result = FilterResult(opt, False)
@@ -369,17 +376,18 @@ class SingleEndProcessor(BaseProcessor):
 
     def _dispatch(self, bases_p, quals_p, lengths_p, pre_trim_p,
                   index_drop_p, dedup_p, valid):
+        """Returns (device outputs, layout dict of the step that ran)."""
         pk = self._try_pack_inputs(bases_p, quals_p)
         if pk is None:
             return self.step(bases_p, quals_p, lengths_p, pre_trim_p,
-                             index_drop_p, dedup_p, valid)
+                             index_drop_p, dedup_p, valid), self._plain_layout
         if self._packed_step is None:
             inner = build_se_step(self.cfg, packed=True, mega=self._mega)
-            self.step_layout = inner.layout
+            self._packed_layout = inner.layout
             self._packed_step = self._wrap_step(inner)
         p, ei, eb, eq = pk
         return self._packed_step(p, ei, eb, eq, lengths_p, pre_trim_p,
-                                 index_drop_p, dedup_p, valid)
+                                 index_drop_p, dedup_p, valid), self._packed_layout
 
     def process(self) -> Dict:
         opt = self.opt
@@ -587,6 +595,8 @@ class SingleEndProcessor(BaseProcessor):
         if multihost.active():
             # gather every shard's accumulators; only process 0 reports
             if not multihost.merge_processor_stats(self, is_pe=False):
+                if self.duplicate is not None:
+                    self.duplicate.release()
                 return {"pre": self.pre_stats, "post": self.post_stats,
                         "filter": self.filter_result, "dup_rate": 0.0}
         sys.stderr.write("Read1 before filtering:\n")
