@@ -306,6 +306,10 @@ def main(argv=None):
         sys.stderr.write("fastp_tpu: an ultra-fast all-in-one FASTQ preprocessor (TPU-native)\n"
                          "version %s\n" % FASTP_TPU_VER)
         build_parser().print_usage(sys.stderr)
+        sys.stderr.write(
+            "also: fastp_tpu test                      # built-in self tests\n"
+            "      fastp_tpu serve --socket PATH       # resident server "
+            "(point jobs at it with FASTP_TPU_SERVER=PATH)\n")
         return 0
     if len(argv) == 2 and argv[1] == "test":
         from .selftest import run_self_tests
