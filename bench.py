@@ -32,12 +32,12 @@ REF_BIN = "/tmp/refbuild/fastp"
 BASELINE_CACHE = os.path.join(ROOT, "tools", "bench_baseline.json")
 SOCK = os.path.join(BENCH_DIR, "serve.sock")
 
+FLAGS = ["--correction", "--cut_right",
+         "-a", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",
+         "--adapter_sequence_r2", "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"]
 ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
         "-I", os.path.join(BENCH_DIR, "R2.fq"),
-        "-o", "out1.fq", "-O", "out2.fq",
-        "--correction", "--cut_right",
-        "-a", "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",
-        "--adapter_sequence_r2", "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"]
+        "-o", "out1.fq", "-O", "out2.fq"] + FLAGS
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
@@ -45,13 +45,23 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 def ensure_corpus():
     r1 = os.path.join(BENCH_DIR, "R1.fq")
     # ~330 bytes/record: require the file to match the requested N_PAIRS
-    if os.path.exists(r1) and N_PAIRS * 250 < os.path.getsize(r1) < N_PAIRS * 450:
-        return
-    os.makedirs(BENCH_DIR, exist_ok=True)
-    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_synth.py"),
-                    "--reads", str(N_PAIRS),
-                    "--out1", r1, "--out2", os.path.join(BENCH_DIR, "R2.fq")],
-                   check=True)
+    if not (os.path.exists(r1)
+            and N_PAIRS * 250 < os.path.getsize(r1) < N_PAIRS * 450):
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        subprocess.run([sys.executable,
+                        os.path.join(ROOT, "tools", "make_synth.py"),
+                        "--reads", str(N_PAIRS),
+                        "--out1", r1, "--out2", os.path.join(BENCH_DIR, "R2.fq")],
+                       check=True)
+    w1 = os.path.join(BENCH_DIR, "warm_R1.fq")
+    if not os.path.exists(w1):
+        # small same-shape corpus for the server's pre-READY warm run
+        subprocess.run([sys.executable,
+                        os.path.join(ROOT, "tools", "make_synth.py"),
+                        "--reads", "65536", "--seed", "7",
+                        "--out1", w1,
+                        "--out2", os.path.join(BENCH_DIR, "warm_R2.fq")],
+                       check=True)
 
 
 def measure_reference():
@@ -99,11 +109,23 @@ def _start_server(env):
         os.unlink(SOCK)
     except OSError:
         pass
+    warm_dir = os.path.join(BENCH_DIR, "warm_run")
+    os.makedirs(warm_dir, exist_ok=True)
+    warm_argv = ["fastp_tpu",
+                 "-i", os.path.join(BENCH_DIR, "warm_R1.fq"),
+                 "-I", os.path.join(BENCH_DIR, "warm_R2.fq"),
+                 "-o", os.path.join(warm_dir, "w1.fq"),
+                 "-O", os.path.join(warm_dir, "w2.fq"),
+                 "-j", os.path.join(warm_dir, "w.json"),
+                 "-h", os.path.join(warm_dir, "w.html")] + FLAGS + [
+                 "--batch_size", "32768"]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "fastp_tpu", "serve", "--socket", SOCK, "--warm"],
+        [sys.executable, "-m", "fastp_tpu", "serve", "--socket", SOCK,
+         "--warm", "--warm-run", json.dumps(warm_argv)],
         env=env, cwd=BENCH_DIR, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True)
-    deadline = time.time() + 300
+    # the warm run absorbs the TPU program-load lottery (100-600s observed)
+    deadline = time.time() + 900
     while time.time() < deadline:
         line = proc.stdout.readline()
         if line.startswith("READY"):
@@ -126,7 +148,11 @@ def _stop_server(proc, env):
 
 
 def measure_ours():
-    """Returns (best_reads_per_sec, raw_run_seconds, warmup_seconds)."""
+    """Returns (raw_run_seconds, warmup_seconds).
+
+    The server pre-warms (compile + TPU program load) before READY via a
+    small same-shape --warm-run job, so every timed run is steady-state.
+    """
     workdir = os.path.join(BENCH_DIR, "tpu_run")
     os.makedirs(workdir, exist_ok=True)
     env = _client_env()
@@ -135,11 +161,12 @@ def measure_ours():
     # measured best on the tunnel (fewer, larger transfers).
     cmd = [sys.executable, "-m", "fastp_tpu"] + ARGS + ["--batch_size", "32768"]
 
+    t_start = time.time()
     server = _start_server(env)
+    warmup = time.time() - t_start if server is not None else None
     runs = []
-    warmup = None
     try:
-        for k in range(REPEATS + 1):
+        for k in range(REPEATS):
             t0 = time.time()
             try:
                 subprocess.run(cmd, cwd=workdir, env=env, check=True,
@@ -147,13 +174,7 @@ def measure_ours():
             except subprocess.SubprocessError as e:
                 sys.stderr.write("bench: run %d failed (%s)\n" % (k, e))
                 continue
-            dt = time.time() - t0
-            if warmup is None:
-                # the FIRST SUCCESSFUL run absorbs PJRT init + compile +
-                # TPU program load, whichever attempt it was
-                warmup = dt
-            else:
-                runs.append(dt)
+            runs.append(time.time() - t0)
     finally:
         if server is not None:
             _stop_server(server, env)
@@ -168,15 +189,23 @@ def measure_ours():
                 sys.stderr.write("bench: cold run failed (%s)\n" % (e,))
                 continue
             runs.append(time.time() - t0)
-    if not runs:
-        return 0.0, [], warmup  # emit an explicit zero rather than dying
-    return 2 * N_PAIRS / min(runs), runs, warmup
+    return runs, warmup
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return (xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0)
 
 
 def main():
     ensure_corpus()
     baseline, ref_runs = measure_reference()
-    ours, runs, warmup = measure_ours()
+    runs, warmup = measure_ours()
+    # headline = MEDIAN of >=3 runs (best-of would convert tunnel-bandwidth
+    # luck into reported throughput); min/max ride along for auditability
+    ours = 2 * N_PAIRS / _median(runs) if runs else 0.0
+    best = 2 * N_PAIRS / min(runs) if runs else 0.0
     print(json.dumps({
         "metric": "pe150_full_pipeline_reads_per_sec_per_chip",
         "value": round(ours, 1),
@@ -184,11 +213,15 @@ def main():
         "vs_baseline": round(ours / baseline, 4) if baseline else None,
         "pairs": N_PAIRS,
         "runs_seconds": [round(r, 2) for r in runs],
+        "best_reads_per_sec": round(best, 1),
         "server_warmup_seconds": round(warmup, 2) if warmup else None,
         "ref_runs_seconds": [round(r, 2) for r in ref_runs],
         "baseline_reads_per_sec": round(baseline, 1),
-        "protocol": "resident server (fastp_tpu serve), warmup excluded from "
-                    "timed runs; reference cold-started per run",
+        "protocol": "median of %d steady-state runs through a resident "
+                    "pre-warmed server (fastp_tpu serve --warm-run); "
+                    "reference cold-started per run (its startup is "
+                    "trivial); reference number is its best run"
+                    % max(len(runs), 1),
     }))
 
 

@@ -5,8 +5,10 @@ directly on VMEM-resident tiles, so the whole offset sweep is one kernel
 with no HBM traffic per offset and no one-hot materialization.  Exact for
 any byte alphabet (it compares raw bytes, like the reference's C++ loop).
 
-Opt-in via FASTP_TPU_PALLAS_OVERLAP=1 (the conv path is the default; on
-the current single-chip setup both are far below the transfer costs).
+Default on real accelerators (smaller executable, no clean/dirty cond);
+the conv path is the default on the CPU backend, where this kernel would
+run interpreted.  Override either way with FASTP_TPU_PALLAS_OVERLAP=1/0
+(see ops/overlap.py:analyze for the dispatch).
 """
 from __future__ import annotations
 

@@ -275,6 +275,15 @@ def allgather_state(state: dict, exchange_dir: str) -> List[dict]:
     try:
         datas = _allgather_bytes_jax(payload)
     except Exception as e:  # CPU multi-process collectives unavailable
+        # The file exchange silently depends on exchange_dir being a SHARED
+        # filesystem, so it must be opted into explicitly.
+        if os.environ.get("FASTP_TPU_FS_EXCHANGE") not in ("1", "true"):
+            from ..config import error_exit
+            error_exit(
+                "cross-process stats collectives are unavailable (%s). "
+                "If all processes share one filesystem, set "
+                "FASTP_TPU_FS_EXCHANGE=1 to exchange stats through files "
+                "next to the JSON report." % type(e).__name__)
         sys.stderr.write("fastp_tpu: jax allgather unavailable (%s); "
                          "using shared-filesystem stats exchange\n" % type(e).__name__)
         datas = _allgather_bytes_files(payload, exchange_dir)

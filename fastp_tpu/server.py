@@ -71,11 +71,32 @@ class _SockStream:
         return False
 
 
+class _NullStream:
+    """Swallow job output during a pre-READY warm run."""
+
+    def __init__(self):
+        self.buffer = self
+        self.encoding = "utf-8"
+
+    def write(self, data):
+        return len(data)
+
+    def flush(self):
+        pass
+
+    def isatty(self):
+        return False
+
+
 def _run_job(argv, cwd, conn) -> int:
     from .cli import main as cli_main
     old_out, old_err, old_cwd = sys.stdout, sys.stderr, os.getcwd()
-    sys.stdout = _SockStream(conn, b"O")
-    sys.stderr = _SockStream(conn, b"E")
+    if conn is None:
+        sys.stdout = _NullStream()
+        sys.stderr = _NullStream()
+    else:
+        sys.stdout = _SockStream(conn, b"O")
+        sys.stderr = _SockStream(conn, b"E")
     try:
         os.chdir(cwd)
         rc = cli_main(argv)
@@ -98,7 +119,7 @@ def _run_job(argv, cwd, conn) -> int:
         os.chdir(old_cwd)
 
 
-def serve(sock_path: str, warm: bool = False) -> int:
+def serve(sock_path: str, warm: bool = False, warm_run=None) -> int:
     try:
         os.unlink(sock_path)
     except OSError:
@@ -106,10 +127,19 @@ def serve(sock_path: str, warm: bool = False) -> int:
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(sock_path)
     srv.listen(8)
-    if warm:
+    if warm or warm_run:
         # touch the accelerator so PJRT client init happens before READY
         import jax
         jax.devices()
+    if warm_run:
+        # run one representative job before READY: batches pad to
+        # --batch_size, so a small input with production flags compiles AND
+        # device-loads the exact executable timed jobs will hit.  The first
+        # client job then pays only steady-state cost (keep ONE batch shape
+        # per server: the TPU server caches ~one loaded program).
+        rc = _run_job(warm_run, ".", None)
+        sys.stdout.write("WARMED rc=%d\n" % rc)
+        sys.stdout.flush()
     sys.stdout.write("READY %d\n" % os.getpid())
     sys.stdout.flush()
     while True:
@@ -156,5 +186,10 @@ def serve_main(args) -> int:
     p.add_argument("--socket", required=True, help="unix socket path")
     p.add_argument("--warm", action="store_true",
                    help="initialize the accelerator client before READY")
+    p.add_argument("--warm-run", default=None, metavar="JSON_ARGV",
+                   help="JSON list of CLI args for a representative job to "
+                        "run (output suppressed) before READY; pre-loads "
+                        "the pipeline executable for that config/shape")
     ns = p.parse_args(args)
-    return serve(ns.socket, warm=ns.warm)
+    warm_run = json.loads(ns.warm_run) if ns.warm_run else None
+    return serve(ns.socket, warm=ns.warm, warm_run=warm_run)

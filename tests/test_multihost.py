@@ -30,6 +30,7 @@ def _launch(tmpdir, args, port, pid, nprocs):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["FASTP_TPU_FS_EXCHANGE"] = "1"  # same machine => shared FS
     env["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:%d" % port
     env["JAX_NUM_PROCESSES"] = str(nprocs)
     env["JAX_PROCESS_ID"] = str(pid)
