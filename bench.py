@@ -42,10 +42,16 @@ ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
+CORPUS_VERSION = "v2-nova4"  # bump when make_synth output changes
+
+
 def ensure_corpus():
     r1 = os.path.join(BENCH_DIR, "R1.fq")
+    vfile = os.path.join(BENCH_DIR, "corpus_version")
+    ver_ok = (os.path.exists(vfile)
+              and open(vfile).read().strip() == CORPUS_VERSION)
     # ~330 bytes/record: require the file to match the requested N_PAIRS
-    if not (os.path.exists(r1)
+    if not (ver_ok and os.path.exists(r1)
             and N_PAIRS * 250 < os.path.getsize(r1) < N_PAIRS * 450):
         os.makedirs(BENCH_DIR, exist_ok=True)
         subprocess.run([sys.executable,
@@ -53,8 +59,10 @@ def ensure_corpus():
                         "--reads", str(N_PAIRS),
                         "--out1", r1, "--out2", os.path.join(BENCH_DIR, "R2.fq")],
                        check=True)
+        with open(vfile, "w") as f:
+            f.write(CORPUS_VERSION)
     w1 = os.path.join(BENCH_DIR, "warm_R1.fq")
-    if not os.path.exists(w1):
+    if not (ver_ok and os.path.exists(w1)):
         # small same-shape corpus for the server's pre-READY warm run
         subprocess.run([sys.executable,
                         os.path.join(ROOT, "tools", "make_synth.py"),

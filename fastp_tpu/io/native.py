@@ -82,6 +82,10 @@ def _bind(lib):
     lib.pack_bq.argtypes = [
         _u8p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
         _i32p, _u8p, _u8p]
+    lib.pack_nib.restype = ctypes.c_int64
+    lib.pack_nib.argtypes = [
+        _u8p, _u8p, ctypes.c_int64, _u8p, _i32p, _u8p, ctypes.c_int64,
+        _i32p, _u8p, _u8p]
     lib.known_adapter_scan.restype = ctypes.c_int32
     lib.known_adapter_scan.argtypes = [
         _u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
@@ -245,6 +249,42 @@ def pack_bq(bases: np.ndarray, quals: np.ndarray):
         return None
     # sentinel for unused slots: out-of-range index (device scatter drops)
     if n < PACK_EXC_CAP:
+        exc_idx[n:] = bases.size
+    return packed, exc_idx, exc_base, exc_qual, int(n)
+
+
+def nib_exc_cap(n: int) -> int:
+    """Exception capacity for pack_nib: a fixed function of the element
+    count so the device-step shape is stable per batch shape.  Sized for
+    ~0.8% exceptional positions (N bases dominate on real data); rounded
+    to a 1024 multiple so a dp mesh can shard the list."""
+    return max(4096, -(-(n // 128) // 1024) * 1024)
+
+
+def pack_nib(bases: np.ndarray, quals: np.ndarray,
+             qdict: np.ndarray, qdict_n: np.ndarray):
+    """Pack [B, W] base/qual arrays into a [B, W//2] nibble array.
+
+    qdict (u8[4]) / qdict_n (i32[1]) persist across batches (the qual
+    dictionary is learned first-come and stays stable for the run).
+    Returns (packed, exc_idx, exc_base, exc_qual, n_exc) or None when the
+    batch has too many non-ACGT/5th-qual positions for the fixed-capacity
+    exception list (caller falls back to the 1-byte/position scheme)."""
+    lib = get_lib()
+    assert lib is not None
+    B, W = bases.shape
+    cap = nib_exc_cap(bases.size)
+    packed = np.empty((B, W // 2), np.uint8)  # pack_nib zero-fills
+    exc_idx = np.zeros(cap, np.int32)
+    exc_base = np.zeros(cap, np.uint8)
+    exc_qual = np.zeros(cap, np.uint8)
+    n = lib.pack_nib(np.ascontiguousarray(bases),
+                     np.ascontiguousarray(quals),
+                     bases.size, qdict, qdict_n, packed, cap,
+                     exc_idx, exc_base, exc_qual)
+    if n < 0:
+        return None
+    if n < cap:
         exc_idx[n:] = bases.size
     return packed, exc_idx, exc_base, exc_qual, int(n)
 

@@ -239,6 +239,61 @@ int64_t pack_bq(const uint8_t* bases, const uint8_t* quals, int64_t n,
     return n_exc;
 }
 
+// 4-bit input packing for device upload: code = qcode*4 + bcode per
+// position, two positions per byte (low nibble = even position).  bcode
+// maps ACGT->0..3; qcode indexes a persistent <=4-entry qual dictionary
+// (learned first-come across batches so the device program sees one
+// stable layout).  Anything else (N, IUPAC, lowercase, a 5th qual value)
+// is recorded as an exception (flat index, base, qual) that the device
+// scatters over the decoded tensors, keeping the path byte-exact for ANY
+// input.  Pad positions (base == 0) encode 0; the device re-zeroes them
+// from the length mask.  Returns the exception count, or -1 when it
+// exceeds exc_cap (caller falls back to the 1-byte/position scheme).
+// This halves the dominant H2D bytes vs pack_bq on modern binned-quality
+// data (NovaSeq/NextSeq emit <=4 distinct quality values).
+int64_t pack_nib(const uint8_t* bases, const uint8_t* quals, int64_t n,
+                 uint8_t* qdict, int32_t* qdict_n,
+                 uint8_t* packed, int64_t exc_cap,
+                 int32_t* exc_idx, uint8_t* exc_base, uint8_t* exc_qual) {
+    static int8_t bcode[256];
+    static bool init = false;
+    if (!init) {
+        memset(bcode, -1, sizeof(bcode));
+        bcode[(int)'A'] = 0; bcode[(int)'C'] = 1;
+        bcode[(int)'G'] = 2; bcode[(int)'T'] = 3;
+        init = true;
+    }
+    int16_t qcode[256];
+    memset(qcode, -1, sizeof(qcode));
+    int nq = *qdict_n;
+    for (int k = 0; k < nq; k++) qcode[qdict[k]] = (int16_t)k;
+    int64_t n_exc = 0;
+    memset(packed, 0, (size_t)((n + 1) / 2));
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t b = bases[i];
+        if (b == 0) continue;  // pad: code 0, device re-zeroes by length
+        int c = bcode[b];
+        int q = qcode[quals[i]];
+        if (q < 0 && c >= 0 && nq < 4) {  // learn a new qual value
+            q = nq;
+            qdict[nq] = quals[i];
+            qcode[quals[i]] = (int16_t)nq;
+            nq++;
+        }
+        if (c < 0 || q < 0) {
+            if (n_exc >= exc_cap) { *qdict_n = nq; return -1; }
+            exc_idx[n_exc] = (int32_t)i;
+            exc_base[n_exc] = b;
+            exc_qual[n_exc] = quals[i];
+            n_exc++;
+            continue;  // placeholder code 0; the scatter overwrites
+        }
+        packed[i >> 1] |= (uint8_t)((q * 4 + c) << ((i & 1) * 4));
+    }
+    *qdict_n = nq;
+    return n_exc;
+}
+
 // Known-adapter scan (reference: src/evaluator.cpp:207-293).
 // adapters: concatenated adapter bytes; aoff/alen arrays of n_ad entries
 // (lexicographically sorted, matching std::map iteration).

@@ -84,11 +84,19 @@ def build_sharded_step(step_fn, mesh: Mesh, n_batch_args: int):
     (already summed across shards), per-read outputs are gathered to host.
     """
     shard = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    n_dev = mesh.devices.size
 
     jitted = {}
 
     def call(*args):
-        put = [jax.device_put(a, shard) for a in args]
+        # tiny side tables (e.g. the 4-entry qual LUT) replicate; anything
+        # batch-major with a dp-divisible leading dim shards
+        put = [jax.device_put(
+                   a, shard if (getattr(a, "ndim", 0) >= 1
+                                and a.shape[0] >= n_dev
+                                and a.shape[0] % n_dev == 0) else repl)
+               for a in args]
         key = tuple((a.shape, str(a.dtype)) for a in args)
         if key not in jitted:
             # trace once to learn the output tree, then re-jit with shardings

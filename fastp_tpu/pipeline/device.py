@@ -369,7 +369,14 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             "polyx_bases": polyx_bases,
         }, B, L), B, layout, mega, L)
 
-    if packed:
+    if packed == "nib":
+        def nib_step(p, qlut, ei, eb, eq, lengths, pre_trim, index_drop,
+                     dedup_out, valid):
+            bases, quals = _unpack_nib(p, qlut, lengths, ei, eb, eq)
+            return se_step(bases, quals, lengths, pre_trim, index_drop,
+                           dedup_out, valid)
+        step = jax.jit(nib_step)
+    elif packed:
         def packed_step(p, ei, eb, eq, lengths, pre_trim, index_drop,
                         dedup_out, valid):
             bases, quals = _unpack_bq(p, ei, eb, eq)
@@ -380,6 +387,28 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
         step = jax.jit(se_step)
     step.layout = layout
     return step
+
+
+def _unpack_nib(p, qlut, lengths, idx, base, qual):
+    """Invert the host 4-bit packer (native pack_nib): each nibble is
+    qcode*4 + bcode (low nibble = even position); bases decode through a
+    fixed ACGT LUT and quals through the per-run learned dictionary qlut
+    (u8[4]); pad re-zeroes from the length mask; exceptions scatter raw
+    (base, qual) bytes back in."""
+    B, Wh = p.shape
+    W = Wh * 2
+    lo = p & 15
+    hi = p >> 4
+    codes = jnp.stack([lo, hi], axis=-1).reshape(B, W).astype(jnp.int32)
+    blut = jnp.array([65, 67, 71, 84], jnp.uint8)
+    b = blut[codes & 3]
+    q = qlut[codes >> 2]
+    m = jnp.arange(W, dtype=jnp.int32)[None, :] < lengths[:, None]
+    b = jnp.where(m, b, 0)
+    q = jnp.where(m, q, 0)
+    b = b.reshape(-1).at[idx].set(base, mode="drop").reshape(B, W)
+    q = q.reshape(-1).at[idx].set(qual, mode="drop").reshape(B, W)
+    return b, q
 
 
 def _unpack_bq(p, idx, base, qual):
@@ -568,7 +597,15 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
         })
         return pack_for_host(_slim_outputs(out, B, L), B, layout, mega, L)
 
-    if packed:
+    if packed == "nib":
+        def nib_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, qlut, l1, l2,
+                     pre_trim1, pre_trim2, index_drop, dedup_out, valid):
+            b1, q1 = _unpack_nib(p1, qlut, l1, e1i, e1b, e1q)
+            b2, q2 = _unpack_nib(p2, qlut, l2, e2i, e2b, e2q)
+            return pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
+                           index_drop, dedup_out, valid)
+        step = jax.jit(nib_step)
+    elif packed:
         def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2,
                         pre_trim1, pre_trim2, index_drop, dedup_out, valid):
             b1, q1 = _unpack_bq(p1, e1i, e1b, e1q)

@@ -81,6 +81,8 @@ class PairEndProcessor(BaseProcessor):
         self.step = self._wrap_step(inner)
         self._packed_step = None
         self._packed_layout = None
+        self._nib_step = None
+        self._nib_layout = None
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         self.pre_stats1 = Stats(opt, False, self.width)
         self.post_stats1 = Stats(opt, False, self.width * 2)
@@ -549,6 +551,18 @@ class PairEndProcessor(BaseProcessor):
     def _dispatch_pe(self, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
                      idxp, dedp, valid):
         """Returns (device outputs, layout dict of the step that ran)."""
+        nib1 = self._try_pack_nib(b1p, q1p)
+        nib2 = self._try_pack_nib(b2p, q2p) if nib1 is not None else None
+        if nib1 is not None and nib2 is not None:
+            if self._nib_step is None:
+                inner = build_pe_step(self.cfg, packed="nib", mega=self._mega)
+                self._nib_layout = inner.layout
+                self._nib_step = self._wrap_step(inner)
+            p1, e1i, e1b, e1q = nib1
+            p2, e2i, e2b, e2q = nib2
+            return self._nib_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
+                                  self._qdict.copy(), l1p, l2p, pt1p, pt2p,
+                                  idxp, dedp, valid), self._nib_layout
         pk1 = self._try_pack_inputs(b1p, q1p)
         pk2 = self._try_pack_inputs(b2p, q2p) if pk1 is not None else None
         if pk1 is None or pk2 is None:

@@ -170,6 +170,32 @@ class BaseProcessor:
             self._is_cpu = jax.default_backend() == "cpu"
         return self._is_cpu
 
+    def _try_pack_nib(self, bases, quals):
+        """(packed_nibbles, exc_idx, exc_base, exc_qual) or None.
+
+        4-bit packing (2-bit base + 2-bit learned qual dictionary) halves
+        the dominant H2D bytes vs the 1-byte scheme on modern binned-quality
+        data.  The choice is sticky per run: once a batch falls back (N-rich
+        or >4 distinct quals), nib stays off so the device keeps running ONE
+        program (the TPU server caches ~one loaded executable)."""
+        import os
+        if (os.environ.get("FASTP_TPU_NO_INPUT_PACK")
+                or os.environ.get("FASTP_TPU_NO_NIB")
+                or getattr(self, "_nib_dead", False)
+                or bases.shape[1] % 2):
+            return None
+        from ..io import native as native_mod
+        if native_mod.get_lib() is None:
+            return None
+        if not hasattr(self, "_qdict"):
+            self._qdict = np.zeros(4, np.uint8)
+            self._qdict_n = np.zeros(1, np.int32)
+        res = native_mod.pack_nib(bases, quals, self._qdict, self._qdict_n)
+        if res is None:
+            self._nib_dead = True
+            return None
+        return res[:4]
+
     def _try_pack_inputs(self, bases, quals):
         """(packed, exc_idx, exc_base, exc_qual) or None.
 
@@ -212,14 +238,18 @@ class BaseProcessor:
         return out, valid
 
     def _fetch_pool(self):
-        """Single-worker executor that runs jax.device_get off-thread.
+        """Two-worker executor that runs jax.device_get off-thread.
 
         The tunnel D2H recv blocks ~0.1-1s per batch with the GIL released;
-        fetching on a side thread lets the next batch's host-side work
-        (tokenize, dup hash, pack, dispatch) overlap the transfer."""
+        fetching on side threads lets the next batch's host-side work
+        (tokenize, dup hash, pack, dispatch) overlap the transfer.  TWO
+        workers because the tunnel's per-stream bandwidth is below its
+        aggregate (+~35% measured with 2 concurrent fetches,
+        tools/measure_tunnel.py); result order is preserved by the
+        per-batch futures."""
         if not hasattr(self, "_fetch_exec"):
             from concurrent.futures import ThreadPoolExecutor
-            self._fetch_exec = ThreadPoolExecutor(max_workers=1)
+            self._fetch_exec = ThreadPoolExecutor(max_workers=2)
         return self._fetch_exec
 
     def _upload_pool(self):
@@ -368,6 +398,8 @@ class SingleEndProcessor(BaseProcessor):
         self.step = self._wrap_step(inner)
         self._packed_step = None
         self._packed_layout = None
+        self._nib_step = None
+        self._nib_layout = None
         self.pre_stats = Stats(opt, False, self.width)
         self.post_stats = Stats(opt, False, self.width)
         self.filter_result = FilterResult(opt, False)
@@ -377,6 +409,16 @@ class SingleEndProcessor(BaseProcessor):
     def _dispatch(self, bases_p, quals_p, lengths_p, pre_trim_p,
                   index_drop_p, dedup_p, valid):
         """Returns (device outputs, layout dict of the step that ran)."""
+        nib = self._try_pack_nib(bases_p, quals_p)
+        if nib is not None:
+            if self._nib_step is None:
+                inner = build_se_step(self.cfg, packed="nib", mega=self._mega)
+                self._nib_layout = inner.layout
+                self._nib_step = self._wrap_step(inner)
+            p, ei, eb, eq = nib
+            return self._nib_step(p, self._qdict.copy(), ei, eb, eq,
+                                  lengths_p, pre_trim_p, index_drop_p,
+                                  dedup_p, valid), self._nib_layout
         pk = self._try_pack_inputs(bases_p, quals_p)
         if pk is None:
             return self.step(bases_p, quals_p, lengths_p, pre_trim_p,

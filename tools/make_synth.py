@@ -23,11 +23,21 @@ for _k, _v in ((65, 84), (84, 65), (67, 71), (71, 67), (78, 78)):
 CHUNK = 100_000
 
 
-def make_quals(rng, n, read_len, mean_hi=36, degrade=8):
+# NovaSeq/NextSeq RTA3 emit exactly four binned quality scores; modern
+# FASTQ is overwhelmingly quality-binned, so the synthetic corpus bins too
+# (pass --qual-bins none for legacy continuous qualities)
+NOVA_BINS = np.array([2, 12, 23, 37], np.uint8)
+
+
+def make_quals(rng, n, read_len, mean_hi=36, degrade=8, bins=NOVA_BINS):
     pos = np.arange(read_len)
     base_q = mean_hi - degrade * (pos / read_len) ** 2
     q = base_q[None, :] + rng.normal(0, 3, (n, read_len))
     q = np.clip(q, 2, 40).astype(np.uint8)
+    if bins is not None:
+        # snap to the nearest bin (RTA3-style quantization)
+        edges = (bins[:-1].astype(np.int32) + bins[1:]) // 2
+        q = bins[np.searchsorted(edges, q, side="right")]
     return q + 33
 
 
@@ -67,8 +77,9 @@ def _gen_chunk(rng, n, L, args):
                                        axis=1)]
     r2 = np.where(in_ins, r2_core, read_through(a2))
 
-    q1 = make_quals(rng, n, L)
-    q2 = make_quals(rng, n, L, mean_hi=34, degrade=10)
+    bins = None if args.qual_bins == "none" else NOVA_BINS
+    q1 = make_quals(rng, n, L, bins=bins)
+    q2 = make_quals(rng, n, L, mean_hi=34, degrade=10, bins=bins)
 
     # sequencing errors where quality is low
     for r, q in ((r1, q1), (r2, q2)):
@@ -123,6 +134,9 @@ def main():
     ap.add_argument("--polyg-rate", type=float, default=0.08)
     ap.add_argument("--n-rate", type=float, default=0.002)
     ap.add_argument("--short-insert-rate", type=float, default=0.25)
+    ap.add_argument("--qual-bins", choices=["nova4", "none"], default="nova4",
+                    help="nova4 = RTA3-style 4-bin quality quantization "
+                         "(modern Illumina); none = continuous 2-40")
     ap.add_argument("--novaseq-names", action="store_true", default=True)
     args = ap.parse_args()
 
