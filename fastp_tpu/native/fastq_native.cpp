@@ -167,24 +167,37 @@ void dup_hash(const uint8_t* b1, const int32_t* l1,
         codes[(int)'C'] = 74; codes[(int)'G'] = 31;
         init = true;
     }
+    // Hoist the prime lookups out of the inner loop: ptab[i][pos] is a
+    // pure function of (pos, buf_num, offset_mask), so each buffer's sum
+    // becomes a plain u64 dot product that the compiler vectorizes
+    // (AVX-512DQ mullo_epi64); bit-identical to the reference walk.
+    int64_t max_pos = b2 ? 2 * W : W;
+    std::vector<uint64_t> ptab((size_t)buf_num * max_pos);
+    for (int64_t pos = 0; pos < max_pos; pos++) {
+        int64_t pbase = (pos * buf_num) & offset_mask;
+        for (int i = 0; i < buf_num; i++)
+            ptab[(size_t)i * max_pos + pos] =
+                (uint64_t)primes[(pbase + i) & offset_mask];
+    }
+    std::vector<uint64_t> v((size_t)max_pos);
     for (int64_t r = 0; r < B; r++) {
-        uint64_t sums[4] = {0, 0, 0, 0};
         int64_t pos = 0;
         const uint8_t* seq = b1 + r * W;
         int len = l1[r];
         for (int half = 0; half < 2; half++) {
-            for (int j = 0; j < len; j++, pos++) {
-                uint64_t v = (uint64_t)(codes[seq[j]] + pos);
-                int64_t pbase = (pos * buf_num) & offset_mask;
-                for (int i = 0; i < buf_num; i++)
-                    sums[i] += (uint64_t)primes[(pbase + i) & offset_mask] * v;
-            }
+            for (int j = 0; j < len; j++, pos++)
+                v[pos] = (uint64_t)(codes[seq[j]] + pos);
             if (b2 == nullptr || half == 1) break;
             seq = b2 + r * W;
             len = l2[r];
         }
-        for (int i = 0; i < buf_num; i++)
-            out_positions[i * B + r] = (int64_t)(sums[i] % buf_len_bits);
+        for (int i = 0; i < buf_num; i++) {
+            const uint64_t* p = ptab.data() + (size_t)i * max_pos;
+            uint64_t s = 0;
+            for (int64_t j = 0; j < pos; j++)
+                s += p[j] * v[j];
+            out_positions[i * B + r] = (int64_t)(s % buf_len_bits);
+        }
     }
 }
 

@@ -22,7 +22,8 @@ from ..report.htmlreport import HtmlReporter
 from ..utils.readname import fix_mgi
 from .device import build_pe_step
 from .hostview import PairWindowView, host_correct_pair
-from .runner import BaseProcessor, SplitWriterSet, _OverRepCounter, _round_width
+from .runner import (BaseProcessor, SplitWriterSet, _OverRepCounter,
+                     _round_width, group_slices, group_pair_slices)
 
 
 class _SeqView:
@@ -284,18 +285,19 @@ class PairEndProcessor(BaseProcessor):
                 fr = self.filter_result
                 rows = np.flatnonzero(ovt)
                 if rows.size:
-                    # bulk int conversion: per-element numpy scalar indexing
-                    # costs ~1us/row, .tolist() is ~30ns/row
-                    s01 = tf1a[rows]
-                    s02 = tf2a[rows]
-                    lo1 = (s01 + out["rlen1_pre_adapter"][rows]).tolist()
-                    hi1 = (s01 + out["rlen1_pre_ovtrim"][rows]).tolist()
-                    lo2 = (s02 + out["rlen2_pre_adapter"][rows]).tolist()
-                    hi2 = (s02 + out["rlen2_pre_ovtrim"][rows]).tolist()
-                    for i, a, b, c, d in zip(rows.tolist(), lo1, hi1, lo2, hi2):
+                    # grouped: batches repeat the same few adapter strings
+                    # thousands of times; count-aware adds replay the exact
+                    # sequential insertion order (see group_pair_slices)
+                    s01 = tf1a[rows].astype(np.int64)
+                    s02 = tf2a[rows].astype(np.int64)
+                    for _, b1b, b2b, c in group_pair_slices(
+                            ba1, s01 + out["rlen1_pre_adapter"][rows],
+                            s01 + out["rlen1_pre_ovtrim"][rows],
+                            ba2, s02 + out["rlen2_pre_adapter"][rows],
+                            s02 + out["rlen2_pre_ovtrim"][rows], rows):
                         fr.add_adapter_trimmed_pair(
-                            ba1[i, a:b].tobytes().decode("latin-1"),
-                            ba2[i, c:d].tobytes().decode("latin-1"))
+                            b1b.decode("latin-1"), b2b.decode("latin-1"),
+                            count=c)
                 for found_key, pos_key, pre_key, slicer, tfa, ba, aseq, is_r2 in (
                         ("ad_found1", "ad_pos1", "rlen1_pre_adapter",
                          view.r1_slice, tf1a, ba1, a1, False),
@@ -304,21 +306,39 @@ class PairEndProcessor(BaseProcessor):
                     found = out[found_key]
                     if not found.any():
                         continue
-                    ad_pos = out[pos_key]
                     frows = np.flatnonzero(found)
-                    ps = ad_pos[frows].tolist()
-                    pres = out[pre_key][frows].tolist()
-                    tfs = tfa[frows].tolist()
-                    hcs = hc[frows].tolist() if hc is not None else [False] * frows.size
-                    for i, p, pre, s0, h in zip(frows.tolist(), ps, pres, tfs, hcs):
-                        if p < 0:
-                            adapter = aseq[:len(aseq) + p].decode()
-                        elif h:
-                            adapter = slicer(i, p, pre).decode("latin-1")
-                        else:
-                            adapter = ba[i, s0 + p:
-                                         s0 + pre].tobytes().decode("latin-1")
-                        fr.add_adapter_trimmed(adapter, is_r2)
+                    ps = out[pos_key][frows].astype(np.int64)
+                    pres = out[pre_key][frows].astype(np.int64)
+                    tfs = tfa[frows].astype(np.int64)
+                    hcs = (hc[frows] if hc is not None
+                           else np.zeros(frows.size, bool))
+                    entries = []
+                    neg = ps < 0
+                    negrows = np.flatnonzero(neg)
+                    if negrows.size:  # adapter clipped at the read start
+                        uniq, first, counts = np.unique(
+                            ps[negrows], return_index=True, return_counts=True)
+                        for k in range(uniq.size):
+                            entries.append((
+                                int(negrows[first[k]]),
+                                aseq[:len(aseq) + int(uniq[k])].decode(),
+                                int(counts[k])))
+                    # rows with corrections intersecting the adapter region
+                    # need the correction-aware per-row view
+                    for j in np.flatnonzero(~neg & hcs).tolist():
+                        entries.append((
+                            j, slicer(int(frows[j]), int(ps[j]),
+                                      int(pres[j])).decode("latin-1"), 1))
+                    nrm = np.flatnonzero(~neg & ~hcs)
+                    if nrm.size:
+                        for p0, bb, c in group_slices(
+                                ba, frows[nrm], tfs[nrm] + ps[nrm],
+                                tfs[nrm] + pres[nrm]):
+                            entries.append((int(nrm[p0]),
+                                            bb.decode("latin-1"), c))
+                    entries.sort(key=lambda t: t[0])
+                    for _, s, c in entries:
+                        fr.add_adapter_trimmed(s, is_r2, count=c)
 
             # --- overrepresentation sampling (pre) -------------------------
             if self.overrep_pre1.enabled:

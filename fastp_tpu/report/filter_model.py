@@ -48,43 +48,50 @@ class FilterResult:
         self.merged_pairs += pairs
 
     def add_adapter_trimmed(self, adapter: str, is_r2: bool = False,
-                            inc_trimmed_counter: bool = True):
-        """reference: src/filterresult.cpp:124-153"""
+                            inc_trimmed_counter: bool = True,
+                            count: int = 1):
+        """reference: src/filterresult.cpp:124-153.
+
+        `count` adds `count` identical records at once (the runner groups
+        per-batch duplicates); exactly equivalent to `count` sequential
+        calls, including the insertion caps (cap checks only run on NEW
+        keys, and grouped repeats of an existing key are increments)."""
         if not adapter:
             return
         if inc_trimmed_counter:
-            self.trimmed_adapter_reads += 1
-        self.trimmed_adapter_bases += len(adapter)
+            self.trimmed_adapter_reads += count
+        self.trimmed_adapter_bases += len(adapter) * count
         m = self.adapter2 if is_r2 else self.adapter1
         if adapter in m:
-            m[adapter] += 1
+            m[adapter] += count
         else:
             if len(m) > MAX_ADAPTER_REC or (len(m) > LOW_COMPLEXITY_SKIP
                                             and _is_low_complexity(adapter)):
                 return
-            m[adapter] = 1
+            m[adapter] = count
 
-    def add_adapter_trimmed_pair(self, adapter1: str, adapter2: str):
+    def add_adapter_trimmed_pair(self, adapter1: str, adapter2: str,
+                                 count: int = 1):
         """reference: src/filterresult.cpp:155-183 (note the early return on a
         capped adapter1 also skips recording adapter2, replicated here)."""
-        self.trimmed_adapter_reads += 2
-        self.trimmed_adapter_bases += len(adapter1) + len(adapter2)
+        self.trimmed_adapter_reads += 2 * count
+        self.trimmed_adapter_bases += (len(adapter1) + len(adapter2)) * count
         if adapter1:
             if adapter1 in self.adapter1:
-                self.adapter1[adapter1] += 1
+                self.adapter1[adapter1] += count
             else:
                 if len(self.adapter1) > MAX_ADAPTER_REC or (
                         len(self.adapter1) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter1)):
                     return
-                self.adapter1[adapter1] = 1
+                self.adapter1[adapter1] = count
         if adapter2:
             if adapter2 in self.adapter2:
-                self.adapter2[adapter2] += 1
+                self.adapter2[adapter2] += count
             else:
                 if len(self.adapter2) > MAX_ADAPTER_REC or (
                         len(self.adapter2) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter2)):
                     return
-                self.adapter2[adapter2] = 1
+                self.adapter2[adapter2] = count
 
     # -- cross-host merge (reference: FilterResult::merge,
     #    src/filterresult.cpp:38-89) ----------------------------------------
