@@ -40,15 +40,95 @@ def _open_stream(filename: str):
     return open(filename, "rb"), filename.endswith(".gz")
 
 
+class _ZlibInflater:
+    """Streaming multi-member gzip inflate via zlib (fallback path)."""
+
+    def __init__(self):
+        self._d = zlib.decompressobj(16 + 15)
+
+    def feed(self, raw: bytes) -> bytes:
+        data = self._d.decompress(raw)
+        # multi-member gzip: restart on leftover
+        while self._d.eof and self._d.unused_data:
+            leftover = self._d.unused_data
+            self._d = zlib.decompressobj(16 + 15)
+            data += self._d.decompress(leftover)
+        return data
+
+    def finish(self) -> bytes:
+        return self._d.flush()
+
+
+class _NativeGzInflater:
+    """Throughput-grade gzip input: whole members inflate through
+    libdeflate (~2-3x zlib) with multi-member restart; members too large
+    for the buffer stream through zlib (native gz_reader in
+    fastp_tpu/native/route_native.cpp; reference: the igzip loop in
+    src/fastqreader.cpp:79-140)."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._h = lib.gz_reader_create()
+        self._pend = b""
+
+    def _drive(self, final: bool) -> bytes:
+        parts = []
+        while True:
+            n_in = len(self._pend)
+            if n_in == 0 and not final:
+                break
+            buf = np.frombuffer(self._pend if n_in else b"\0", np.uint8)
+            cap = max(4 * n_in, 1 << 22)
+            out = np.empty(cap, np.uint8)
+            consumed = np.zeros(1, np.int64)
+            n = self._lib.gz_reader_inflate(self._h, buf, n_in, int(final),
+                                            out, cap, consumed)
+            if n == -2:
+                break  # buffer ends inside a member: feed more bytes
+            if n < 0:
+                raise OSError("corrupt gzip stream")
+            c = int(consumed[0])
+            if c:
+                self._pend = self._pend[c:]
+            if n > 0:
+                parts.append(out[:n].tobytes())
+            if (n == 0 and c == 0) or (n < cap and not self._pend):
+                break
+        return b"".join(parts)
+
+    def feed(self, raw: bytes) -> bytes:
+        self._pend += raw
+        return self._drive(False)
+
+    def finish(self) -> bytes:
+        return self._drive(True)
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._lib.gz_reader_destroy(h)
+
+
+def _make_inflater():
+    import os
+    if not os.environ.get("FASTP_TPU_NO_NATIVE_GZ"):
+        from . import native
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "gz_reader_create"):
+            return _NativeGzInflater(lib)
+    return _ZlibInflater()
+
+
 class FastqReader:
     """Streaming FASTQ line reader with reference-compatible semantics."""
 
     def __init__(self, filename: str, phred64: bool = False,
-                 byte_range: Optional[Tuple[int, int]] = None):
+                 byte_range: Optional[Tuple[int, int]] = None,
+                 record_range: Optional[Tuple[int, Optional[int]]] = None):
         self.filename = filename
         self.phred64 = phred64
         self._fh, self._zipped = _open_stream(filename)
-        self._decomp = zlib.decompressobj(wzbits := 16 + 15) if self._zipped else None
+        self._inf = _make_inflater() if self._zipped else None
         self._lines: List[bytes] = []
         self._lidx = 0
         self._tail = b""
@@ -59,6 +139,12 @@ class FastqReader:
         if byte_range is not None:
             self._fh.seek(byte_range[0])
             self._budget = byte_range[1] - byte_range[0]
+        self._skip_lines = 0
+        self._records_left = None
+        if record_range is not None:
+            self._skip_lines = 4 * record_range[0]
+            if record_range[1] is not None:
+                self._records_left = record_range[1] - record_range[0]
 
     def _next_raw(self) -> bytes:
         n = CHUNK if self._budget is None else min(CHUNK, self._budget)
@@ -72,10 +158,7 @@ class FastqReader:
         while True:
             raw = self._next_raw()
             if not raw:
-                if self._zipped and self._decomp is not None:
-                    data = self._decomp.flush()
-                else:
-                    data = b""
+                data = self._inf.finish() if self._zipped else b""
                 self._eof = True
                 buf = self._tail + data
                 self._tail = b""
@@ -86,15 +169,7 @@ class FastqReader:
                 self._lidx = 0
                 return True
             self.bytes_read += len(raw)
-            if self._zipped:
-                data = self._decomp.decompress(raw)
-                # multi-member gzip: restart on leftover
-                while self._decomp.eof and self._decomp.unused_data:
-                    leftover = self._decomp.unused_data
-                    self._decomp = zlib.decompressobj(16 + 15)
-                    data += self._decomp.decompress(leftover)
-            else:
-                data = raw
+            data = self._inf.feed(raw) if self._zipped else raw
             buf = self._tail + data
             if not buf:
                 continue
@@ -114,11 +189,18 @@ class FastqReader:
         return buf
 
     def _next_line(self) -> Optional[bytes]:
-        while self._lidx >= len(self._lines):
-            if self._eof:
-                return None
-            if not self._fill():
-                return None
+        while True:
+            while self._lidx >= len(self._lines):
+                if self._eof:
+                    return None
+                if not self._fill():
+                    return None
+            if self._skip_lines:  # record-range shard skip (bulk)
+                take = min(self._skip_lines, len(self._lines) - self._lidx)
+                self._lidx += take
+                self._skip_lines -= take
+                continue
+            break
         line = self._lines[self._lidx]
         self._lidx += 1
         return line
@@ -127,6 +209,10 @@ class FastqReader:
         """One record, or None at EOF / on malformed input (like the reference)."""
         if self._stopped:
             return None
+        if self._records_left is not None:
+            if self._records_left <= 0:
+                return None
+            self._records_left -= 1
         name = self._next_line()
         # skip empty / non-@ lines before the name
         while name is not None and (len(name) == 0 or name[0:1] != b"@"):
@@ -354,14 +440,15 @@ class ArrayFastqReader:
     native C++ tokenizer (fastp_tpu/native/fastq_native.cpp)."""
 
     def __init__(self, filename: str, phred64: bool = False,
-                 byte_range: Optional[Tuple[int, int]] = None):
+                 byte_range: Optional[Tuple[int, int]] = None,
+                 record_range: Optional[Tuple[int, Optional[int]]] = None):
         from . import native
         self._native = native
         assert native.get_lib() is not None
         self.filename = filename
         self.phred64 = phred64
         self._fh, self._zipped = _open_stream(filename)
-        self._decomp = zlib.decompressobj(16 + 15) if self._zipped else None
+        self._inf = _make_inflater() if self._zipped else None
         self._pending = b""
         self._eof = False
         self._stopped = False
@@ -371,6 +458,38 @@ class ArrayFastqReader:
         if byte_range is not None:
             self._fh.seek(byte_range[0])
             self._budget = byte_range[1] - byte_range[0]
+        # record-range shard of a non-seekable (gzip) stream: skip 4*start
+        # lines, then stop after end-start records (end None = unbounded)
+        self._skip_lines = 0
+        self._records_left = None
+        if record_range is not None:
+            self._skip_lines = 4 * record_range[0]
+            if record_range[1] is not None:
+                self._records_left = record_range[1] - record_range[0]
+
+    def _do_skip(self):
+        """Drop self._skip_lines whole lines from the decompressed stream
+        (bulk newline counting, no tokenization)."""
+        while self._skip_lines > 0:
+            if not self._pending:
+                if self._eof:
+                    self._skip_lines = 0
+                    return
+                self._read_more()
+                continue
+            buf = np.frombuffer(self._pending, np.uint8)
+            nl = np.flatnonzero(buf == 10)
+            if len(nl) >= self._skip_lines:
+                self._pending = self._pending[int(nl[self._skip_lines - 1]) + 1:]
+                self._skip_lines = 0
+            elif len(nl):
+                self._pending = self._pending[int(nl[-1]) + 1:]
+                self._skip_lines -= len(nl)
+            elif self._eof:
+                self._pending = b""
+                self._skip_lines = 0
+            else:
+                self._read_more()
 
     def _read_more(self):
         n = CHUNK if self._budget is None else min(CHUNK, self._budget)
@@ -378,27 +497,25 @@ class ArrayFastqReader:
         if self._budget is not None:
             self._budget -= len(raw)
         if not raw:
-            data = self._decomp.flush() if (self._zipped and self._decomp) else b""
+            data = self._inf.finish() if self._zipped else b""
             self._eof = True
             if data:
                 self._pending += data
             return
         self.bytes_read += len(raw)
-        if self._zipped:
-            data = self._decomp.decompress(raw)
-            while self._decomp.eof and self._decomp.unused_data:
-                leftover = self._decomp.unused_data
-                self._decomp = zlib.decompressobj(16 + 15)
-                data += self._decomp.decompress(leftover)
-        else:
-            data = raw
-        self._pending += data
+        self._pending += self._inf.feed(raw) if self._zipped else raw
 
     def read_batch(self, n: int, width: int) -> Optional[ArrayBatch]:
         """Exactly n records (less only at EOF/stop); None when exhausted.
         Width auto-grows for long reads; check ``batch.width``."""
         if self._stopped:
             return None
+        if self._skip_lines:
+            self._do_skip()
+        if self._records_left is not None:
+            if self._records_left <= 0:
+                return None
+            n = min(n, self._records_left)
         while True:
             need = n * self._est + 4 * self._est
             while not self._eof and len(self._pending) < need:
@@ -421,6 +538,8 @@ class ArrayFastqReader:
                                    strand_off=soff[:cnt], strand_len=slen[:cnt])
                 self._pending = self._pending[consumed:]
                 self._est = max(64, consumed // cnt + 16)
+                if self._records_left is not None:
+                    self._records_left -= cnt
                 return batch
             # buffer held fewer than n complete records: read more and retry
             self._est = max(self._est + 64, int(self._est * 1.5))
@@ -434,8 +553,9 @@ class PyBatchReader:
     """Record-based fallback with the ArrayFastqReader interface."""
 
     def __init__(self, filename: str, phred64: bool = False,
-                 byte_range: Optional[Tuple[int, int]] = None):
-        self._reader = FastqReader(filename, phred64, byte_range)
+                 byte_range: Optional[Tuple[int, int]] = None,
+                 record_range: Optional[Tuple[int, Optional[int]]] = None):
+        self._reader = FastqReader(filename, phred64, byte_range, record_range)
         self.filename = filename
 
     @property
@@ -456,11 +576,37 @@ class PyBatchReader:
 
 
 def open_batch_reader(filename: str, phred64: bool = False,
-                      byte_range: Optional[Tuple[int, int]] = None):
+                      byte_range: Optional[Tuple[int, int]] = None,
+                      record_range: Optional[Tuple[int, Optional[int]]] = None):
     from . import native
     if native.get_lib() is not None:
-        return ArrayFastqReader(filename, phred64, byte_range)
-    return PyBatchReader(filename, phred64, byte_range)
+        return ArrayFastqReader(filename, phred64, byte_range, record_range)
+    return PyBatchReader(filename, phred64, byte_range, record_range)
+
+
+def count_records(filename: str) -> int:
+    """Number of complete 4-line records (streams gzip; used to derive
+    record-range shards of non-seekable inputs)."""
+    fh, zipped = _open_stream(filename)
+    inf = _make_inflater() if zipped else None
+    lines = 0
+    last = b"\n"
+    while True:
+        raw = fh.read(CHUNK)
+        if not raw:
+            data = inf.finish() if zipped else b""
+        else:
+            data = inf.feed(raw) if zipped else raw
+        if data:
+            lines += int(np.count_nonzero(np.frombuffer(data, np.uint8) == 10))
+            last = data[-1:]
+        if not raw:
+            break
+    if fh is not sys.stdin.buffer:
+        fh.close()
+    if last != b"\n":
+        lines += 1  # unterminated final line still ends a record
+    return lines // 4
 
 
 class OutputWriter:

@@ -36,6 +36,7 @@ def _build(lib_path: str) -> bool:
             + [s for s in _SRCS if os.path.exists(s)])
     # prefer libdeflate-backed gzip (reference: src/writer.cpp:110-133);
     # fall back to a zlib-only build when the library is absent
+    base += ["-lz"]  # streaming-inflate fallback of the gzip reader
     for extra in (["-DHAVE_LIBDEFLATE", "-ldeflate"], []):
         try:
             r = subprocess.run(base + extra + ["-o", lib_path],
@@ -118,6 +119,14 @@ def _bind(lib):
     lib.gzip_compress.restype = ctypes.c_int64
     lib.gzip_compress.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int,
                                   _u8p, ctypes.c_int64]
+    lib.gz_reader_create.restype = ctypes.c_void_p
+    lib.gz_reader_create.argtypes = []
+    lib.gz_reader_destroy.restype = None
+    lib.gz_reader_destroy.argtypes = [ctypes.c_void_p]
+    lib.gz_reader_inflate.restype = ctypes.c_int64
+    lib.gz_reader_inflate.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int,
+        _u8p, ctypes.c_int64, _i64p]
     lib.gzip_compress_bound.restype = ctypes.c_int64
     lib.gzip_compress_bound.argtypes = [ctypes.c_int64, ctypes.c_int]
     lib.ora_create.restype = ctypes.c_void_p

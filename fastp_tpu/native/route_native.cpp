@@ -25,6 +25,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include <zlib.h>
+
 #ifdef HAVE_LIBDEFLATE
 #include <libdeflate.h>
 #endif
@@ -182,6 +184,121 @@ int64_t fq_emit_merged(
         }
     }
     return o - out;
+}
+
+// --- gzip INPUT ------------------------------------------------------------
+// Throughput-grade streaming inflate (reference: the igzip reader loop in
+// src/fastqreader.cpp:79-140).  Whole members decompress through libdeflate
+// (~2-3x zlib) with multi-member restart; a member that does not fit the
+// supplied buffers (a giant single-member file) streams through zlib
+// instead, so arbitrary gzip files work with bounded memory.
+
+struct GzReader {
+    z_stream zs;
+    bool z_init = false;    // inflateInit2 done
+    bool z_active = false;  // currently streaming a member through zlib
+#ifdef HAVE_LIBDEFLATE
+    struct libdeflate_decompressor* d = nullptr;
+#endif
+};
+
+extern "C" void* gz_reader_create() {
+    GzReader* g = new GzReader();
+    memset(&g->zs, 0, sizeof(g->zs));
+#ifdef HAVE_LIBDEFLATE
+    g->d = libdeflate_alloc_decompressor();
+#endif
+    return g;
+}
+
+extern "C" void gz_reader_destroy(void* h) {
+    GzReader* g = (GzReader*)h;
+    if (g->z_init) inflateEnd(&g->zs);
+#ifdef HAVE_LIBDEFLATE
+    if (g->d) libdeflate_free_decompressor(g->d);
+#endif
+    delete g;
+}
+
+static bool gz_activate_zlib(GzReader* g) {
+    if (!g->z_init) {
+        memset(&g->zs, 0, sizeof(g->zs));
+        if (inflateInit2(&g->zs, 16 + 15) != Z_OK) return false;
+        g->z_init = true;
+    } else if (inflateReset2(&g->zs, 16 + 15) != Z_OK) {
+        return false;
+    }
+    g->z_active = true;
+    return true;
+}
+
+// Inflate from in[0..in_len) into out[0..out_cap).  is_final: no more
+// compressed bytes will ever arrive.  Returns bytes written (>= 0) and
+// fills *in_consumed; -1 = corrupt stream, -2 = the buffer ends inside a
+// member libdeflate cannot finish and nothing was written (caller should
+// append more compressed bytes and retry).
+extern "C" int64_t gz_reader_inflate(void* h, const uint8_t* in,
+                                     int64_t in_len, int is_final,
+                                     uint8_t* out, int64_t out_cap,
+                                     int64_t* in_consumed) {
+    GzReader* g = (GzReader*)h;
+    int64_t ic = 0, ow = 0;
+    while (ow < out_cap && (ic < in_len || (g->z_active && is_final))) {
+        if (g->z_active) {
+            g->zs.next_in = (Bytef*)(in + ic);
+            g->zs.avail_in = (uInt)std::min<int64_t>(in_len - ic, 1 << 30);
+            g->zs.next_out = out + ow;
+            g->zs.avail_out = (uInt)std::min<int64_t>(out_cap - ow, 1 << 30);
+            uInt before_in = g->zs.avail_in;
+            uInt before_out = g->zs.avail_out;
+            int r = inflate(&g->zs, is_final ? Z_FINISH : Z_NO_FLUSH);
+            ic += before_in - g->zs.avail_in;
+            ow += before_out - g->zs.avail_out;
+            if (r == Z_STREAM_END) {
+                g->z_active = false;  // member done; boundary mode again
+                continue;
+            }
+            if (r == Z_OK || r == Z_BUF_ERROR) {
+                if (before_in == g->zs.avail_in
+                        && before_out == g->zs.avail_out)
+                    break;  // no progress possible: need more input/output
+                continue;
+            }
+            *in_consumed = ic;
+            return -1;
+        }
+        // at a member boundary
+#ifdef HAVE_LIBDEFLATE
+        if (g->d) {
+            size_t ain = 0, aout = 0;
+            enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+                g->d, in + ic, (size_t)(in_len - ic),
+                out + ow, (size_t)(out_cap - ow), &ain, &aout);
+            if (r == LIBDEFLATE_SUCCESS) {
+                ic += (int64_t)ain;
+                ow += (int64_t)aout;
+                continue;
+            }
+            if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+                if (ow > 0) break;     // drain what we have, call again
+                if (!gz_activate_zlib(g)) { *in_consumed = ic; return -1; }
+                continue;              // giant member: stream it
+            }
+            // BAD_DATA: a member truncated mid-buffer, or real corruption
+            if (!is_final) {
+                if (ow > 0) break;     // drain, read more, retry
+                *in_consumed = ic;
+                return -2;             // need more compressed input
+            }
+            // final buffer: zlib reproduces exact error/tail semantics
+            if (!gz_activate_zlib(g)) { *in_consumed = ic; return -1; }
+            continue;
+        }
+#endif
+        if (!gz_activate_zlib(g)) { *in_consumed = ic; return -1; }
+    }
+    *in_consumed = ic;
+    return ow;
 }
 
 // Throughput-grade gzip compression via libdeflate, one whole member per
