@@ -132,8 +132,11 @@ def _start_server(env):
          "--warm", "--warm-run", json.dumps(warm_argv)],
         env=env, cwd=BENCH_DIR, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True)
-    # the warm run absorbs the TPU program-load lottery (100-600s observed)
-    deadline = time.time() + 900
+    # the warm run absorbs the TPU program-load lottery (100s-22min
+    # observed, plus a cold XLA compile when the persistent cache misses);
+    # note readline() blocks, so this deadline is only checked per line —
+    # it guards against a server that exits or babbles, not a silent hang
+    deadline = time.time() + 3600
     while time.time() < deadline:
         line = proc.stdout.readline()
         if line.startswith("READY"):
@@ -206,7 +209,74 @@ def _median(xs):
     return (xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0)
 
 
+def measure_devices(n_devices: int, pairs: int, backend: str):
+    """Multi-chip scaling harness: run the pipeline over an n-device
+    jax.sharding mesh (--devices) and over 1 device, emit reads/s and
+    scaling efficiency.  With backend=cpu this exercises the sharded
+    path on a virtual host-device mesh (all virtual devices share the
+    host's cores, so efficiency is a correctness/coverage signal, not a
+    hardware number); on a real multi-chip host run with backend=tpu."""
+    dev_dir = os.path.join(BENCH_DIR, "dev%d" % pairs)
+    r1 = os.path.join(dev_dir, "R1.fq")
+    if not os.path.exists(r1):
+        os.makedirs(dev_dir, exist_ok=True)
+        subprocess.run([sys.executable,
+                        os.path.join(ROOT, "tools", "make_synth.py"),
+                        "--reads", str(pairs),
+                        "--out1", r1, "--out2", os.path.join(dev_dir, "R2.fq")],
+                       check=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    if backend == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d "
+                            % n_devices + env.get("XLA_FLAGS", ""))
+    results = {}
+    for nd in (1, n_devices):
+        workdir = os.path.join(dev_dir, "run%d" % nd)
+        os.makedirs(workdir, exist_ok=True)
+        cmd = [sys.executable, "-m", "fastp_tpu",
+               "-i", r1, "-I", os.path.join(dev_dir, "R2.fq"),
+               "-o", "out1.fq", "-O", "out2.fq"] + FLAGS + [
+               "--devices", str(nd), "--batch_size", "8192"]
+        best = None
+        for _ in range(2):  # second run reuses the compile cache
+            t0 = time.time()
+            subprocess.run(cmd, cwd=workdir, env=env, check=True,
+                           capture_output=True, timeout=7200)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[nd] = 2 * pairs / best
+    eff = results[n_devices] / (results[1] * n_devices)
+    print(json.dumps({
+        "metric": "pe150_mesh_reads_per_sec",
+        "value": round(results[n_devices], 1),
+        "unit": "reads/s",
+        "vs_baseline": None,
+        "devices": n_devices,
+        "backend": backend,
+        "pairs": pairs,
+        "reads_per_sec_1dev": round(results[1], 1),
+        "scaling_efficiency": round(eff, 3),
+        "protocol": "jax.sharding dp mesh via --devices; best of 2 "
+                    "cold-process runs per point (virtual CPU devices "
+                    "share host cores; efficiency is meaningful on real "
+                    "multi-chip hardware)",
+    }))
+
+
 def main():
+    if "--devices" in sys.argv:
+        import argparse
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--devices", type=int, required=True)
+        ap.add_argument("--pairs", type=int,
+                        default=int(os.environ.get("BENCH_MESH_PAIRS", "100000")))
+        ap.add_argument("--backend", choices=["cpu", "tpu"], default="cpu")
+        a = ap.parse_args()
+        measure_devices(a.devices, a.pairs, a.backend)
+        return
     ensure_corpus()
     baseline, ref_runs = measure_reference()
     runs, warmup = measure_ours()

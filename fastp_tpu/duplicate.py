@@ -96,7 +96,13 @@ def _gen_primes(count: int) -> np.ndarray:
 
 
 class Duplicate:
-    def __init__(self, opt: Options):
+    def __init__(self, opt: Options, precomputed: "np.ndarray" = None,
+                 hash_only: bool = False):
+        """precomputed: per-record dup verdicts resolved ahead of time (the
+        exact multi-host exchange, parallel/multihost.py) — no Bloom
+        buffers are allocated and check_batch_* replays the verdicts in
+        record order.  hash_only: expose the hash without buffers (the
+        multi-host pre-pass)."""
         self.opt = opt
         buf_len_bytes = 1 << 29
         buf_num = 2
@@ -119,11 +125,27 @@ class Duplicate:
         self.buf_num = buf_num
         self.buf_len_bits = buf_len_bytes << 3
         self.offset_mask = PRIME_ARRAY_LEN * buf_num - 1
-        self.bufs = [_acquire_buf(buf_len_bytes) for _ in range(buf_num)]
+        self._pre = precomputed
+        self._pre_off = 0
+        if precomputed is None and not hash_only:
+            self.bufs = [_acquire_buf(buf_len_bytes) for _ in range(buf_num)]
+        else:
+            self.bufs = []
         self.primes = _gen_primes(buf_num * PRIME_ARRAY_LEN).astype(np.int64)
         self.total_reads = 0
         self.dup_reads = 0
         self._gmat_cache = {}
+
+    def _replay(self, B: int) -> np.ndarray:
+        """Consume the next B precomputed verdicts (record order)."""
+        v = self._pre[self._pre_off:self._pre_off + B]
+        self._pre_off += B
+        if len(v) < B:  # defensive: shorter pre-pass (should not happen)
+            v = np.pad(v, (0, B - len(v)))
+        dup = v.astype(bool)
+        self.total_reads += B
+        self.dup_reads += int(dup.sum())
+        return dup
 
     def _prime_matrix(self, W: int) -> np.ndarray:
         """[W, buf_num] float64 prime multipliers (cached per width)."""
@@ -193,11 +215,34 @@ class Duplicate:
                                    self.offset_mask, self.buf_num,
                                    self.buf_len_bits)
 
-    def check_batch_se(self, bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    def hash_positions_se(self, bases: np.ndarray,
+                          lengths: np.ndarray) -> np.ndarray:
+        """[buf_num, B] bit positions (the multi-host pre-pass uses the
+        LAST buffer's row: only it decides the verdict, per the reference's
+        isDup overwrite quirk)."""
         pos = self._native_hash(bases, lengths)
         if pos is None:
             pos = self._hash_positions(bases, lengths)
-        dup = self._apply(pos)
+        return pos
+
+    def hash_positions_pe(self, b1, l1, b2, l2) -> np.ndarray:
+        B, L = b1.shape
+        pos = self._native_hash(b1, l1, b2, l2)
+        if pos is None:
+            W = 2 * L
+            concat = np.zeros((B, W), np.uint8)
+            concat[:, :L] = b1
+            x = np.arange(L)
+            for_rows = l1[:, None] + x[None, :]
+            np.put_along_axis(concat, np.minimum(for_rows, W - 1), np.where(
+                x[None, :] < l2[:, None], b2, 0), axis=1)
+            pos = self._hash_positions(concat, (l1 + l2).astype(np.int32))
+        return pos
+
+    def check_batch_se(self, bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        if self._pre is not None:
+            return self._replay(len(lengths))
+        dup = self._apply(self.hash_positions_se(bases, lengths))
         self.total_reads += len(lengths)
         self.dup_reads += int(dup.sum())
         return dup
@@ -206,21 +251,10 @@ class Duplicate:
                        b2: np.ndarray, l2: np.ndarray) -> np.ndarray:
         """Pair hash = seq2intvector(r1) then seq2intvector(r2, posOffset=len1),
         equivalent to hashing the concatenated pair."""
-        B, L = b1.shape
-        pos = self._native_hash(b1, l1, b2, l2)
-        if pos is None:
-            W = 2 * L
-            concat = np.zeros((B, W), np.uint8)
-            concat[:, :L] = b1
-            # place r2 at column offset len1 per row
-            x = np.arange(L)
-            for_rows = l1[:, None] + x[None, :]
-            np.put_along_axis(concat, np.minimum(for_rows, W - 1), np.where(
-                x[None, :] < l2[:, None], b2, 0), axis=1)
-            total = (l1 + l2).astype(np.int32)
-            pos = self._hash_positions(concat, total)
-        dup = self._apply(pos)
-        self.total_reads += B
+        if self._pre is not None:
+            return self._replay(len(l1))
+        dup = self._apply(self.hash_positions_pe(b1, l1, b2, l2))
+        self.total_reads += len(l1)
         self.dup_reads += int(dup.sum())
         return dup
 

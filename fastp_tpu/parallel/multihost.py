@@ -21,10 +21,12 @@ This module implements single-input-file sharding across those processes:
     JSON/HTML report.  When cross-process collectives are unavailable the
     exchange falls back to files next to the JSON output (shared-FS mode).
 
-Known approximation: with --dedup each process holds a process-local Bloom
-filter, so duplicate pairs that land on different shards are not collapsed
-(the multi-threaded reference shares one filter; an exact multi-host dedup
-needs a hash-sharded exchange — see IMPLEMENTATION.md "dedup endgame").
+Dedup/duplication analysis is EXACT across shards: a cheap pre-pass hashes
+every shard's records, the per-record Bloom positions are allgathered, and
+first-occurrence-wins is resolved by global record index
+(exact_dedup_verdicts below) — deterministic and byte-identical to the
+single-process run, which the multi-threaded reference itself is not
+(its shared filter is arrival-order dependent).
 """
 from __future__ import annotations
 
@@ -179,14 +181,28 @@ def shard_options(opt) -> None:
     n = process_count()
     if opt.inputFromSTDIN or opt.in1 in ("/dev/stdin", "-"):
         error_exit("multi-host sharding does not support STDIN input")
-    if opt.in1.endswith(".gz") or (opt.in2 and opt.in2.endswith(".gz")):
-        error_exit("multi-host sharding requires uncompressed input "
-                   "(gzip streams are not byte-addressable); decompress "
-                   "first or shard by file with the batch driver")
     if opt.split.enabled:
         error_exit("--split cannot be combined with multi-host sharding "
                    "(outputs are already sharded per host)")
-    if opt.interleavedInput:
+    if opt.in1.endswith(".gz") or (opt.in2 and opt.in2.endswith(".gz")):
+        # gzip streams are not byte-addressable: shard by RECORD ranges.
+        # Every process streams the gz and bulk-skips to its contiguous
+        # range (decompress is ~10x faster than the pipeline, so the
+        # skipped prefix costs little), which keeps concatenated shard
+        # outputs byte-identical to the single-process run.  R2 shares
+        # R1's record indices, so pairs never split.
+        from ..io.fastq import count_records
+        n_rec = count_records(opt.in1)
+        if opt.interleavedInput:
+            pairs = n_rec // 2
+            bounds = [2 * (pairs * i // n) for i in range(n)]
+        else:
+            bounds = [n_rec * i // n for i in range(n)]
+        bounds.append(None)  # last shard reads to EOF
+        opt.shardRecRange = (bounds[k], bounds[k + 1])
+        opt.shardRange1 = None
+        opt.shardRange2 = None
+    elif opt.interleavedInput:
         r1, _ = shard_ranges(opt.in1, None, n)
         # align interleaved boundaries to an even record index
         # (pairs must not straddle shards)
@@ -209,6 +225,89 @@ def shard_options(opt) -> None:
             setattr(opt, attr, shard_filename(v, k))
     if opt.merge.out:
         opt.merge.out = shard_filename(opt.merge.out, k)
+
+
+# ---------------------------------------------------------------------------
+# exact cross-shard dedup
+
+
+def exact_dedup_verdicts(opt) -> Optional[np.ndarray]:
+    """Exact multi-host duplicate verdicts for THIS shard's records.
+
+    The reference shares one atomically-updated filter across threads
+    (reference: src/duplicate.cpp:154-167), which makes its multi-threaded
+    verdicts arrival-order nondeterministic.  Here every process hashes its
+    shard in a cheap pre-pass (tokenize + hash only), the per-record bit
+    positions are allgathered, and first-occurrence-wins is resolved by
+    GLOBAL record index — deterministic and byte-identical to the
+    single-process run.  Only the LAST Bloom buffer's position decides a
+    verdict (the reference's isDup overwrite quirk), so one u64 per record
+    is exchanged.
+
+    Returns verdicts aligned with this shard's record order, or None when
+    dedup is off / not in multi-host mode.
+    """
+    if not (opt.duplicate.enabled and active()):
+        return None
+    from ..duplicate import Duplicate
+    from ..io.fastq import open_batch_reader
+    hasher = Duplicate(opt, hash_only=True)
+    positions: List[np.ndarray] = []
+    n_batch = max(opt.batchSize, 4096)
+    if opt.in2 or opt.interleavedInput:
+        if opt.interleavedInput:
+            from ..pipeline.pe_runner import _InterleavedPairSource
+            src = _InterleavedPairSource(open_batch_reader(
+                opt.in1, opt.phred64, getattr(opt, "shardRange1", None),
+                getattr(opt, "shardRecRange", None)))
+            read_pair = lambda: src.read_pair_batch(n_batch, 192)
+        else:
+            r1 = open_batch_reader(opt.in1, opt.phred64,
+                                   getattr(opt, "shardRange1", None),
+                                   getattr(opt, "shardRecRange", None))
+            r2 = open_batch_reader(opt.in2, opt.phred64,
+                                   getattr(opt, "shardRange2", None),
+                                   getattr(opt, "shardRecRange", None))
+            read_pair = lambda: (r1.read_batch(n_batch, 192),
+                                 r2.read_batch(n_batch, 192))
+        while True:
+            b1, b2 = read_pair()
+            if b1 is None or b2 is None:
+                break
+            m = min(b1.n, b2.n)  # unmatched tails are ignored (main pass
+            b1, b2 = b1.head(m), b2.head(m)  # prints the reference warning)
+            if b1.width != b2.width:
+                w = max(b1.width, b2.width)
+                b1, b2 = b1.widen(w), b2.widen(w)
+            pos = hasher.hash_positions_pe(b1.bases, b1.lengths,
+                                           b2.bases, b2.lengths)
+            positions.append(pos[-1].astype(np.uint64))
+    else:
+        r1 = open_batch_reader(opt.in1, opt.phred64,
+                               getattr(opt, "shardRange1", None),
+                               getattr(opt, "shardRecRange", None))
+        while True:
+            b = r1.read_batch(n_batch, 192)
+            if b is None:
+                break
+            pos = hasher.hash_positions_se(b.bases, b.lengths)
+            positions.append(pos[-1].astype(np.uint64))
+    mine = (np.concatenate(positions) if positions
+            else np.zeros(0, np.uint64))
+    exchange_dir = os.path.dirname(os.path.abspath(opt.jsonFile)) or "."
+    states = allgather_state({"pos": mine}, exchange_dir)
+    shard_pos = [np.asarray(s["pos"], np.uint64) for s in states]
+    all_pos = np.concatenate(shard_pos)
+    # byte-range shards are ordered, so concatenation order == global
+    # record order; a stable sort keeps first occurrences first
+    order = np.argsort(all_pos, kind="stable")
+    sp = all_pos[order]
+    dup_sorted = np.zeros(len(sp), bool)
+    dup_sorted[1:] = sp[1:] == sp[:-1]
+    dup = np.empty(len(sp), bool)
+    dup[order] = dup_sorted
+    start = sum(len(shard_pos[i]) for i in range(process_index()))
+    return dup[start:start + len(mine)]
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,7 @@ def _mega_pack(out: dict, layout: dict):
     packed tree still has ~13 leaves (~40ms/batch of pure latency).  One
     bitcast+concat brings that to one fetch.  Only used off-mesh: on a
     device mesh the per-read halves shard while stats replicate, which a
-    single fused buffer cannot express."""
+    single fused buffer cannot express (see _mega_pack_sharded)."""
     meta = []
     parts = []
     off = 0
@@ -147,6 +147,48 @@ def _mega_pack(out: dict, layout: dict):
         parts.append(flat)
     layout["mega"] = meta
     return {"_blob": jnp.concatenate(parts)}
+
+
+def _mega_pack_sharded(out: dict, B: int, layout: dict):
+    """Mesh variant of _mega_pack: ONE [B, M] uint8 blob for everything
+    per-read (shards on dp, so each device ships exactly one D2H buffer of
+    its own rows) plus ONE replicated blob for the batch-reduced stats;
+    only the batch-level sparse correction lists stay separate leaves."""
+    rows_meta = []   # (key, dtype, K, byte_off, elem_bytes)
+    rows_parts = []
+    repl_meta = []   # (key, dtype, shape, byte_off, nbytes)
+    repl_parts = []
+    roff = soff = 0
+    for k in sorted(out):
+        v = out[k]
+        if k in ("_corr_rows", "_corr_pos", "_corr_u8"):
+            continue  # batch-level lists: leave as their own leaves
+        if v.ndim == 2 and v.shape[1] == B:   # [K, B] per-read matrices
+            u8v = jax.lax.bitcast_convert_type(v.T, jnp.uint8) \
+                if v.dtype != jnp.uint8 else v.T
+            if u8v.ndim == 2:   # 1-byte dtypes: bitcast adds no byte dim
+                u8v = u8v[..., None]
+            K, nb = v.shape[0], u8v.shape[-1]
+            rows_parts.append(u8v.reshape(B, K * nb))
+            rows_meta.append((k, str(v.dtype), K, roff, nb))
+            roff += K * nb
+            out.pop(k)
+        elif v.ndim >= 1 and v.shape[0] != B:  # batch-reduced stats/counters
+            u8v = (v if v.dtype == jnp.uint8
+                   else jax.lax.bitcast_convert_type(v, jnp.uint8))
+            flat = u8v.reshape(-1)
+            repl_meta.append((k, str(v.dtype), tuple(v.shape), soff,
+                              int(flat.shape[0])))
+            soff += int(flat.shape[0])
+            repl_parts.append(flat)
+            out.pop(k)
+    if rows_parts:
+        out["_rows_blob"] = jnp.concatenate(rows_parts, axis=1)
+    if repl_parts:
+        out["_repl_blob"] = jnp.concatenate(repl_parts)
+    layout["mega_rows"] = rows_meta
+    layout["mega_repl"] = repl_meta
+    return out
 
 
 def pack_for_host(out, B: int, layout: dict, mega: bool = False,
@@ -230,17 +272,24 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False,
     layout["bool_keys"] = b_keys
     layout["stat_keys"] = stat_keys
     layout["stats_shapes"] = stats_shapes
-    if mega:
-        out = _mega_pack(out, layout)
-    else:
+    if mega == "sharded":
+        out = _mega_pack_sharded(out, B, layout)
         layout.pop("mega", None)
+    elif mega:
+        out = _mega_pack(out, layout)
+        layout.pop("mega_rows", None)
+        layout.pop("mega_repl", None)
+    else:
+        for k in ("mega", "mega_rows", "mega_repl"):
+            layout.pop(k, None)
     # per-shape registry: retracing at a new (B, width) must not invalidate
     # the layout of a shape that may still be dispatched later (a jit cache
     # hit does not re-run this code, so the flat entries alone go stale)
     layout[("shape", B, width)] = {
         k: layout[k] for k in ("i16_keys", "i8_keys", "i32_keys",
                                "bool_keys", "stat_keys", "stats_shapes",
-                               "mega") if k in layout}
+                               "mega", "mega_rows", "mega_repl")
+        if k in layout}
     return out
 
 
@@ -252,6 +301,16 @@ def unpack_from_host(out: dict, layout: dict) -> dict:
         blob = out.pop("_blob")
         for k, dt, shp, off, n in layout["mega"]:
             out[k] = blob[off:off + n].view(np.dtype(dt)).reshape(shp)
+    if "_rows_blob" in out:
+        rb = out.pop("_rows_blob")  # [B, M] uint8, dp-sharded on a mesh
+        Bn = rb.shape[0]
+        for k, dt, K, off, nb in layout["mega_rows"]:
+            out[k] = np.ascontiguousarray(
+                rb[:, off:off + K * nb]).view(np.dtype(dt)).reshape(Bn, K).T
+    if "_repl_blob" in out:
+        blob = out.pop("_repl_blob")
+        for k, dt, shp, off, n in layout["mega_repl"]:
+            out[k] = blob[off:off + n].copy().view(np.dtype(dt)).reshape(shp)
     if "_corr_rows" in out:
         m = out.pop("_corr_rows").astype(np.int32)
         out["c1_rows"], out["c2_rows"] = m[0], m[1]

@@ -100,13 +100,16 @@ class PairEndProcessor(BaseProcessor):
         opt = self.opt
         if opt.interleavedInput:
             pair_src = _InterleavedPairSource(open_batch_reader(
-                opt.in1, opt.phred64, getattr(opt, "shardRange1", None)))
+                opt.in1, opt.phred64, getattr(opt, "shardRange1", None),
+                getattr(opt, "shardRecRange", None)))
             reader1 = reader2 = None
         else:
             reader1 = open_batch_reader(opt.in1, opt.phred64,
-                                        getattr(opt, "shardRange1", None))
+                                        getattr(opt, "shardRange1", None),
+                                        getattr(opt, "shardRecRange", None))
             reader2 = open_batch_reader(opt.in2, opt.phred64,
-                                        getattr(opt, "shardRange2", None))
+                                        getattr(opt, "shardRange2", None),
+                                        getattr(opt, "shardRecRange", None))
             pair_src = None
 
         writers = {}
@@ -147,6 +150,9 @@ class PairEndProcessor(BaseProcessor):
 
         eof = False
 
+        import time as _ptime
+        t_sub = {"read": 0.0, "dup": 0.0, "pad": 0.0, "submit": 0.0}
+
         def produce():
             """Read one batch, run host-side pre-ops, dispatch the device
             step asynchronously.  Called for batch k+1 BEFORE batch k's
@@ -161,11 +167,13 @@ class PairEndProcessor(BaseProcessor):
                 if n <= 0:
                     eof = True
                     return None
+            _t = _ptime.monotonic()
             if pair_src is not None:
                 batch1, batch2 = pair_src.read_pair_batch(n, self.width)
             else:
                 batch1 = reader1.read_batch(n, self.width)
                 batch2 = reader2.read_batch(n, self.width)
+            t_sub["read"] += _ptime.monotonic() - _t
             if batch1 is None or batch2 is None:
                 eof = True
                 return None
@@ -207,20 +215,26 @@ class PairEndProcessor(BaseProcessor):
 
             dedup_out = np.zeros(B, bool)
             if self.duplicate is not None:
+                _t = _ptime.monotonic()
                 dup = self.duplicate.check_batch_pe(b1, l1, b2, l2)
+                t_sub["dup"] += _ptime.monotonic() - _t
                 if opt.duplicate.dedup:
                     dedup_out = dup
 
+            _t = _ptime.monotonic()
             (b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp, dedp), valid = \
                 self._pad_batch([b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
                                  index_drop, dedup_out], B,
                                 target=opt.batchSize)
+            t_sub["pad"] += _ptime.monotonic() - _t
             # two-stage pipeline: pack+H2D+dispatch of batch k+1 (upload
             # worker) overlaps the D2H recv of batch k (fetch worker), and
             # both overlap this host-side prep (tokenize/dup/pad) of k+2
+            _t = _ptime.monotonic()
             out_dev = self._submit_batch(
                 self._dispatch_pe, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
                 idxp, dedp, valid)
+            t_sub["submit"] += _ptime.monotonic() - _t
             pairs_read += B
             if opt.verbose and pairs_read >= self._last_reported + 1000000:
                 from ..utils.log import loginfo
@@ -546,8 +560,15 @@ class PairEndProcessor(BaseProcessor):
         if timing:
             sys.stderr.write(
                 "TIMING produce=%.2fs fetch_wait=%.2fs route=%.2fs "
-                "flush=%.2fs pairs=%d\n"
-                % (t_prod[0], t_fetch, t_route, t_flush, pairs_seen))
+                "flush=%.2fs pairs=%d "
+                "[read=%.2fs dup=%.2fs pad=%.2fs submit=%.2fs]\n"
+                % (t_prod[0], t_fetch, t_route, t_flush, pairs_seen,
+                   t_sub["read"], t_sub["dup"], t_sub["pad"],
+                   t_sub["submit"]))
+            if hasattr(self, "_t_dispatch"):
+                sys.stderr.write(
+                    "TIMING workers dispatch=%.2fs device_get=%.2fs\n"
+                    % (self._t_dispatch[0], self._t_get[0]))
         if opt.verbose:
             from ..utils.log import loginfo
             loginfo("batch loop done (%d pairs)" % pairs_seen)

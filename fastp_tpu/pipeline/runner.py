@@ -49,6 +49,32 @@ def _index_match(blacklist: List[str], target: bytes, threshold: int) -> bool:
     return False
 
 
+def _padded_slice_matrix(ba: np.ndarray, rows: np.ndarray,
+                         lo: np.ndarray, hi: np.ndarray):
+    """(mat [n, maxL] u8 zero-padded, L [n]) for slices ba[rows, lo:hi]."""
+    W = ba.shape[1]
+    L = np.maximum(hi - lo, 0).astype(np.int64)
+    maxL = int(L.max()) if L.size else 0
+    if maxL == 0:
+        return np.zeros((len(rows), 0), np.uint8), L
+    j = np.arange(maxL)
+    idx = np.clip(lo.astype(np.int64)[:, None] + j[None, :], 0, W - 1)
+    mat = np.where(j[None, :] < L[:, None], ba[rows[:, None], idx], 0)
+    return mat.astype(np.uint8, copy=False), L
+
+
+def _unique_rows(mat: np.ndarray):
+    """np.unique over whole rows via a void view; returns
+    (first_indices, counts, row_getter)."""
+    m = np.ascontiguousarray(mat)
+    if m.shape[1] == 0:
+        return (np.zeros(1 if len(m) else 0, np.int64),
+                np.array([len(m)] if len(m) else [], np.int64))
+    v = m.view(np.dtype((np.void, m.shape[1]))).reshape(-1)
+    _, first, counts = np.unique(v, return_index=True, return_counts=True)
+    return first.astype(np.int64), counts.astype(np.int64)
+
+
 def group_slices(ba: np.ndarray, rows: np.ndarray,
                  lo: np.ndarray, hi: np.ndarray):
     """Group the variable-length row slices ba[rows[k], lo[k]:hi[k]].
@@ -56,25 +82,14 @@ def group_slices(ba: np.ndarray, rows: np.ndarray,
     Returns [(pos, bytes, count)] in first-occurrence order (pos = index
     within `rows`), so count-aware FilterResult adds replay the exact
     sequential insertion order.  Batches repeat the same few adapter
-    strings thousands of times; grouping turns the per-row Python loop
-    (~1-2us/row) into a handful of vectorized np.unique calls."""
-    W = ba.shape[1]
-    L = np.maximum(hi - lo, 0).astype(np.int64)
-    out = []
-    for ln in np.unique(L).tolist():
-        sel = np.flatnonzero(L == ln)
-        if ln == 0:
-            out.append((int(sel[0]), b"", int(sel.size)))
-            continue
-        idx = np.clip(lo[sel].astype(np.int64)[:, None] + np.arange(ln)[None, :],
-                      0, W - 1)
-        mat = np.ascontiguousarray(ba[rows[sel][:, None], idx])
-        v = mat.view(np.dtype((np.void, ln))).reshape(-1)
-        uniq, first, counts = np.unique(v, return_index=True,
-                                        return_counts=True)
-        for k in range(uniq.size):
-            out.append((int(sel[first[k]]), uniq[k].tobytes(),
-                        int(counts[k])))
+    strings thousands of times; ONE padded gather + ONE whole-row
+    np.unique replaces the per-row Python loop (the slice length rides in
+    the key header, so zero padding cannot alias across lengths)."""
+    mat, L = _padded_slice_matrix(ba, rows, lo, hi)
+    hdr = L.astype("<u2")[:, None].view(np.uint8).reshape(len(rows), 2)
+    first, counts = _unique_rows(np.hstack([hdr, mat]))
+    out = [(int(f), mat[f, :int(L[f])].tobytes(), int(c))
+           for f, c in zip(first, counts)]
     out.sort(key=lambda t: t[0])
     return out
 
@@ -83,36 +98,14 @@ def group_pair_slices(ba1, lo1, hi1, ba2, lo2, hi2, rows):
     """Pair variant of group_slices: groups by the concatenated
     (slice1, slice2) content.  Returns [(pos, bytes1, bytes2, count)] in
     first-occurrence order."""
-    W1, W2 = ba1.shape[1], ba2.shape[1]
-    L1 = np.maximum(hi1 - lo1, 0).astype(np.int64)
-    L2 = np.maximum(hi2 - lo2, 0).astype(np.int64)
-    key = L1 * (max(W2, 1) + 1) + L2
-    out = []
-    for kv in np.unique(key).tolist():
-        sel = np.flatnonzero(key == kv)
-        l1 = int(kv // (max(W2, 1) + 1))
-        l2 = int(kv % (max(W2, 1) + 1))
-        r = rows[sel]
-        parts = []
-        if l1:
-            idx = np.clip(lo1[sel].astype(np.int64)[:, None]
-                          + np.arange(l1)[None, :], 0, W1 - 1)
-            parts.append(ba1[r[:, None], idx])
-        if l2:
-            idx = np.clip(lo2[sel].astype(np.int64)[:, None]
-                          + np.arange(l2)[None, :], 0, W2 - 1)
-            parts.append(ba2[r[:, None], idx])
-        if not parts:
-            out.append((int(sel[0]), b"", b"", int(sel.size)))
-            continue
-        mat = np.ascontiguousarray(np.hstack(parts))
-        v = mat.view(np.dtype((np.void, mat.shape[1]))).reshape(-1)
-        uniq, first, counts = np.unique(v, return_index=True,
-                                        return_counts=True)
-        for k in range(uniq.size):
-            blob = uniq[k].tobytes()
-            out.append((int(sel[first[k]]), blob[:l1], blob[l1:],
-                        int(counts[k])))
+    m1, L1 = _padded_slice_matrix(ba1, rows, lo1, hi1)
+    m2, L2 = _padded_slice_matrix(ba2, rows, lo2, hi2)
+    hdr = np.stack([L1, L2], axis=1).astype("<u2").view(np.uint8) \
+        .reshape(len(rows), 4)
+    first, counts = _unique_rows(np.hstack([hdr, m1, m2]))
+    out = [(int(f), m1[f, :int(L1[f])].tobytes(),
+            m2[f, :int(L2[f])].tobytes(), int(c))
+           for f, c in zip(first, counts)]
     out.sort(key=lambda t: t[0])
     return out
 
@@ -216,15 +209,22 @@ class BaseProcessor:
         self.opt = opt
         self.cfg = device_cfg_from_options(opt)
         self.umi = UmiProcessor(opt)
-        self.duplicate = Duplicate(opt) if opt.duplicate.enabled else None
+        self.duplicate = None
+        if opt.duplicate.enabled:
+            from ..parallel import multihost
+            pre = (multihost.exact_dedup_verdicts(opt)
+                   if multihost.active() else None)
+            self.duplicate = Duplicate(opt, precomputed=pre)
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         import jax
         from ..parallel.mesh import make_mesh, build_sharded_step
         n_dev = opt.deviceCount or jax.local_device_count()
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.n_dev = n_dev if self.mesh is not None else 1
-        # single fused D2H buffer off-mesh; per-leaf shardings on a mesh
-        self._mega = self.mesh is None
+        # single fused D2H buffer off-mesh; on a mesh: one dp-sharded
+        # per-read blob (one D2H buffer per device) + one replicated
+        # stats blob (_mega_pack_sharded)
+        self._mega = True if self.mesh is None else "sharded"
 
     def _wrap_step(self, step_fn):
         if self.mesh is None:
@@ -365,11 +365,17 @@ class BaseProcessor:
         retrace mutates the shared step.layout before this batch is
         unpacked — the prefetch pipeline makes that ordering routine."""
         import jax
+        import time as _t
 
         key = ("shape", args[0].shape[0], args[0].shape[1])
+        if not hasattr(self, "_t_dispatch"):
+            self._t_dispatch = [0.0]
+            self._t_get = [0.0]
 
         def _dispatch_snap():
+            t0 = _t.monotonic()
             out, layout_all = dispatch_fn(*args)
+            self._t_dispatch[0] += _t.monotonic() - t0
             snap = layout_all.get(key)
             if snap is None:  # debug paths without a shape entry
                 snap = {k: v for k, v in layout_all.items()
@@ -380,7 +386,10 @@ class BaseProcessor:
 
         def _fetch():
             out, layout = disp.result()
-            return jax.device_get(out), layout
+            t0 = _t.monotonic()
+            res = jax.device_get(out), layout
+            self._t_get[0] += _t.monotonic() - t0
+            return res
 
         return self._fetch_pool().submit(_fetch)
 
@@ -502,7 +511,8 @@ class SingleEndProcessor(BaseProcessor):
     def process(self) -> Dict:
         opt = self.opt
         reader = open_batch_reader(opt.in1, opt.phred64,
-                                   getattr(opt, "shardRange1", None))
+                                   getattr(opt, "shardRange1", None),
+                                   getattr(opt, "shardRecRange", None))
         from ..io import native as native_mod
         nlib = native_mod.get_lib()
         out_writer = None
