@@ -12,3 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compile cache for tests that import ops directly (the
+# pipeline enables it via fastp_tpu.pipeline.device; per-op golden tests
+# would otherwise recompile their sweeps on every run, which dominates the
+# slow tier's wall time on this 1-core host).
+from fastp_tpu._jaxcache import ensure_compile_cache
+ensure_compile_cache()
