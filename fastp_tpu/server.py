@@ -110,7 +110,11 @@ def _run_job(argv, cwd, conn) -> int:
         return 1
     except BaseException:
         try:
-            sys.stderr.write(traceback.format_exc())
+            tb = traceback.format_exc()
+            sys.stderr.write(tb)
+            if conn is None:  # pre-READY warm run: don't lose the evidence
+                old_err.write(tb)
+                old_err.flush()
         except Exception:
             pass
         return 1
@@ -192,4 +196,11 @@ def serve_main(args) -> int:
                         "the pipeline executable for that config/shape")
     ns = p.parse_args(args)
     warm_run = json.loads(ns.warm_run) if ns.warm_run else None
-    return serve(ns.socket, warm=ns.warm, warm_run=warm_run)
+    try:
+        return serve(ns.socket, warm=ns.warm, warm_run=warm_run)
+    except BaseException:
+        # accelerator/tunnel failures during init or warm-run otherwise
+        # kill the daemon with a traceback nobody captured
+        sys.stderr.write("fastp_tpu serve: FATAL\n" + traceback.format_exc())
+        sys.stderr.flush()
+        raise
