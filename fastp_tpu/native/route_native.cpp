@@ -52,6 +52,29 @@ inline uint8_t* put(uint8_t* o, const uint8_t* src, int64_t n) {
     return o + n;
 }
 
+// Chunked field copy: one 32B vector load/store per 32 bytes instead of a
+// glibc memcpy dispatch per ~40-150B field.  Overcopies up to 31B past
+// o+n (caller caps reserve slack; later fields overwrite it) but never
+// overreads past src_end (conservative: src_end is the highest byte any
+// row's field reaches, so reads stay inside the allocation).
+inline uint8_t* put_n(uint8_t* o, const uint8_t* src, int64_t n,
+                      const uint8_t* src_end) {
+    if (src + n + 31 <= src_end) {
+        for (int64_t i = 0; i < n; i += 32)
+            memcpy(o + i, src + i, 32);
+        return o + n;
+    }
+    memcpy(o, src, (size_t)n);
+    return o + n;
+}
+
+inline int64_t blob_hi(const int64_t* off, const int32_t* len, int64_t B) {
+    int64_t hi = 0;
+    for (int64_t i = 0; i < B; i++)
+        if (off[i] + len[i] > hi) hi = off[i] + len[i];
+    return hi;
+}
+
 }  // namespace
 
 extern "C" {
@@ -77,6 +100,12 @@ int64_t fq_emit_routed(
     const uint8_t* tagblob, const int64_t* tag_off, const int32_t* tag_len,
     uint8_t* out) {
     uint8_t* o = out;
+    const uint8_t* nb_end[2] = {nb1 + blob_hi(noff1, nlen1, B),
+                                nb2 + blob_hi(noff2, nlen2, B)};
+    const uint8_t* sb_end[2] = {sb1 + blob_hi(soff1, slen1, B),
+                                sb2 + blob_hi(soff2, slen2, B)};
+    const uint8_t* mat_end[2] = {bases1 + B * W, bases2 + B * W};
+    const uint8_t* qmat_end[2] = {quals1 + B * W, quals2 + B * W};
     for (int64_t i = 0; i < B; i++) {
         for (int slot = 0; slot < 2; slot++) {
             uint8_t em = slot == 0 ? emitA[i] : emitB[i];
@@ -99,17 +128,17 @@ int64_t fq_emit_routed(
             }
             if (len < 0) len = 0;
             int32_t tg = slot == 0 ? tagA[i] : tagB[i];
-            o = put(o, nb + noff[i], nlen[i]);
+            o = put_n(o, nb + noff[i], nlen[i], nb_end[slot]);
             if (tg >= 0) {
                 *o++ = ' ';
                 o = put(o, tagblob + tag_off[tg], tag_len[tg]);
             }
             *o++ = '\n';
-            o = put(o, bases + i * W + start, len);
+            o = put_n(o, bases + i * W + start, len, mat_end[slot]);
             *o++ = '\n';
-            o = put(o, sb + soff[i], slen[i]);
+            o = put_n(o, sb + soff[i], slen[i], sb_end[slot]);
             *o++ = '\n';
-            o = put(o, quals + i * W + start, len);
+            o = put_n(o, quals + i * W + start, len, qmat_end[slot]);
             *o++ = '\n';
         }
     }

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from .._jaxcache import ensure_compile_cache
 ensure_compile_cache()
 
-from ..config import PASS_FILTER
+from ..config import PASS_FILTER, FILTER_RESULT_TYPES
 from ..ops import trim as trim_ops
 from ..ops import polyx as polyx_ops
 from ..ops import adapter as adapter_ops
@@ -191,8 +191,14 @@ def _mega_pack_sharded(out: dict, B: int, layout: dict):
     return out
 
 
+# batch-reduced outputs that are pure sums: in accumulate mode they fold
+# into the on-device accumulator instead of riding the per-batch D2H blob
+_ACC_KEYS = ("isize_hist", "corr_matrix", "polyx_reads", "polyx_bases",
+             "result_hist")
+
+
 def pack_for_host(out, B: int, layout: dict, mega: bool = False,
-                  width: int = 0):
+                  width: int = 0, accum: bool = False):
     """Merge the many per-read/stat outputs into a handful of dense buffers.
 
     Each D2H buffer fetch costs ~3ms of tunnel latency regardless of size;
@@ -213,9 +219,10 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False,
         rows = jnp.stack([out.pop("c1_rows"), out.pop("c2_rows")])
         pos = jnp.stack([out.pop("c1_pos"), out.pop("c2_pos")])
         if B <= 65535 and 0 < width <= 65535:
-            # row indices < B and window positions < width both fit u16
+            # row indices < B fit u16; window positions < width fit u8/u16
             out["_corr_rows"] = rows.astype(jnp.uint16)
-            out["_corr_pos"] = pos.astype(jnp.uint16)
+            out["_corr_pos"] = pos.astype(jnp.uint8 if width <= 255
+                                          else jnp.uint16)
         else:
             out["_corr_rows"] = rows
             out["_corr_pos"] = pos
@@ -272,6 +279,29 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False,
     layout["bool_keys"] = b_keys
     layout["stat_keys"] = stat_keys
     layout["stats_shapes"] = stats_shapes
+    # 4) accumulate mode: batch-reduced sums leave the per-batch transfer
+    #    entirely — they concatenate into one int32 delta vector the step
+    #    adds to a resident on-device accumulator, fetched ONCE per run
+    #    (the tunnel D2H is the bottleneck; these are pure sums)
+    if accum:
+        acc_meta = []
+        acc_parts = []
+        aoff = 0
+        for k in (list(k for k in sorted(out) if k.startswith("_stats_"))
+                  + [k for k in _ACC_KEYS if k in out]):
+            v = out.pop(k)
+            flat = v.astype(jnp.int32).reshape(-1)
+            n = int(flat.shape[0])
+            acc_meta.append((k, tuple(v.shape), aoff, n))
+            aoff += n
+            acc_parts.append(flat)
+        layout["acc"] = acc_meta
+        layout["stat_keys"] = []  # per-batch unpack no longer sees stats
+        out["_acc_delta"] = (jnp.concatenate(acc_parts) if acc_parts
+                             else jnp.zeros((0,), jnp.int32))
+    else:
+        layout["acc"] = None
+    delta = out.pop("_acc_delta", None)  # stays on device, never in the blob
     if mega == "sharded":
         out = _mega_pack_sharded(out, B, layout)
         layout.pop("mega", None)
@@ -282,13 +312,15 @@ def pack_for_host(out, B: int, layout: dict, mega: bool = False,
     else:
         for k in ("mega", "mega_rows", "mega_repl"):
             layout.pop(k, None)
+    if delta is not None:
+        out["_acc_delta"] = delta
     # per-shape registry: retracing at a new (B, width) must not invalidate
     # the layout of a shape that may still be dispatched later (a jit cache
     # hit does not re-run this code, so the flat entries alone go stale)
     layout[("shape", B, width)] = {
         k: layout[k] for k in ("i16_keys", "i8_keys", "i32_keys",
                                "bool_keys", "stat_keys", "stats_shapes",
-                               "mega", "mega_rows", "mega_repl")
+                               "mega", "mega_rows", "mega_repl", "acc")
         if k in layout}
     return out
 
@@ -349,6 +381,29 @@ def unpack_from_host(out: dict, layout: dict) -> dict:
     return out
 
 
+def unpack_acc(acc_vec, layout: dict) -> dict:
+    """Unpack the fetched run-level accumulator vector (accumulate mode)
+    into the same keys a per-batch fetch would have carried: stat dicts
+    (via stats_shapes) plus the named reduced arrays."""
+    out = {}
+    for k, shp, off, n in layout["acc"]:
+        v = acc_vec[off:off + n].reshape(shp)
+        if k.startswith("_stats_"):
+            sk = k[len("_stats_"):]
+            d = {}
+            o = 0
+            for dk, dshp in layout["stats_shapes"][sk]:
+                m = 1
+                for s in dshp:
+                    m *= s
+                d[dk] = v[o:o + m].reshape(dshp)
+                o += m
+            out[sk] = d
+        else:
+            out[k] = v
+    return out
+
+
 # per-read fields whose values are statically within [-64, 191] whenever
 # the padded width is <= 190: these ship as bias-64 int8 (half of int16).
 # ov_offset (can reach -(W-overlapRequire)) and ad_pos (can reach -adapter
@@ -362,11 +417,13 @@ _I8_KEYS = frozenset((
 _I8_BIAS = 64
 
 
-def _slim_outputs(out, B: int, L: int):
+def _slim_outputs(out, B: int, L: int, extra_i8=()):
     """Downcast [B] int32 per-read outputs to int16 — and the statically
     byte-ranged ones to bias-64 int8 — when the read width guarantees they
     fit; the per-read matrix dominates D2H bytes over the tunnel.
-    Row-index lists stay int32 (they index up to B)."""
+    Row-index lists stay int32 (they index up to B).  `extra_i8` adds keys
+    whose range the caller has proven byte-sized for this config (e.g.
+    ad_pos when every adapter is <= 64 bases)."""
     if L > 32000 or _os.environ.get("FASTP_TPU_NO_SLIM"):
         return out
     # row-index lists also fit int16 whenever B does
@@ -378,7 +435,7 @@ def _slim_outputs(out, B: int, L: int):
         if (not isinstance(v, dict) and k not in keep_i32
                 and getattr(v, "ndim", 0) == 1 and v.shape[0] == B
                 and v.dtype == jnp.int32):
-            if use_i8 and k in _I8_KEYS:
+            if use_i8 and (k in _I8_KEYS or k in extra_i8):
                 out[k] = (v - _I8_BIAS).astype(jnp.int8)
             else:
                 out[k] = v.astype(jnp.int16)
@@ -388,16 +445,59 @@ def _slim_outputs(out, B: int, L: int):
 import functools
 
 
+def _max_adapter_len(cfg: DeviceCfg) -> int:
+    lens = [len(cfg.adapter_seq1), len(cfg.adapter_seq2)]
+    lens += [len(a) for a in cfg.fasta_adapters]
+    return max(lens)
+
+
+def _extra_i8_keys(cfg: DeviceCfg):
+    # ad_pos ranges over [-adapter_len, width): bias-64 int8 covers
+    # [-64, 191], so byte-sized whenever every adapter is <= 64 bases
+    # (width <= 190 is checked per batch in _slim_outputs)
+    if _max_adapter_len(cfg) <= 64:
+        return ("ad_pos", "ad_pos1", "ad_pos2")
+    return ()
+
+
+def _finalize_step(inner, layout, accum, n_args: int):
+    """Close a step builder over the accumulate mode.
+
+    accum False: jit(inner) (status quo).  'spec': return the raw traced
+    function — used only under jax.eval_shape to learn the accumulator
+    length without compiling anything.  True / 'donate': the jitted step
+    takes the resident accumulator as one extra trailing arg and returns
+    (outputs, acc + delta); 'donate' additionally donates the old
+    accumulator buffer (not supported on the CPU backend)."""
+    if not accum:
+        step = jax.jit(inner)
+    elif accum == "spec":
+        step = inner
+    else:
+        def with_acc(*args):
+            out = inner(*args[:-1])
+            delta = out.pop("_acc_delta")
+            return out, args[-1] + delta
+        step = jax.jit(with_acc,
+                       donate_argnums=(n_args,) if accum == "donate" else ())
+    step.layout = layout
+    return step
+
+
 @functools.lru_cache(maxsize=16)
-def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
-    """Memoized on (cfg, packed, mega): a resident process (``fastp_tpu
-    serve``) reuses the jitted step — and its loaded TPU executable —
-    across runs, so the one-time compile + device program load is paid once
-    per configuration, not once per job.  Bounded LRU: a server handling
-    many distinct configurations evicts cold steps (letting their compiled
-    executables be collected) instead of growing without limit."""
+def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
+                  accum=False):
+    """Memoized on (cfg, packed, mega, accum): a resident process
+    (``fastp_tpu serve``) reuses the jitted step — and its loaded TPU
+    executable — across runs, so the one-time compile + device program load
+    is paid once per configuration, not once per job.  Bounded LRU: a
+    server handling many distinct configurations evicts cold steps (letting
+    their compiled executables be collected) instead of growing without
+    limit."""
     fview = _FilterCfgView(cfg)
     layout = {}
+    extra_i8 = _extra_i8_keys(cfg)
+    acc_on = bool(accum)
 
     def se_step(bases, quals, lengths, pre_trim, index_drop, dedup_out, valid):
         pre = stats_ops.stat_batch(bases, quals, lengths, valid)
@@ -413,7 +513,7 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
         emit = passed & ~dedup_out
         post = stats_ops.stat_batch(w_b, w_q, rlen, emit)
         B, L = bases.shape
-        return pack_for_host(_slim_outputs({
+        out = {
             "pre": pre, "post": post,
             "total_front": total_front,
             "rlen": rlen,
@@ -426,7 +526,22 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             "rlen_post_adapter": ad["rlen_post_adapter"],
             "polyx_reads": polyx_reads,
             "polyx_bases": polyx_bases,
-        }, B, L), B, layout, mega, L)
+        }
+        if cfg.lean:
+            # per-read result codes reduce to the counting histogram the
+            # host would build (add_filter_result_array over ~index_drop);
+            # `alive` only feeds the --failed_out path, excluded by lean
+            counted = valid & ~index_drop
+            out["result_hist"] = jnp.zeros((FILTER_RESULT_TYPES,), jnp.int32) \
+                .at[jnp.where(counted, result, 0)] \
+                .add(counted.astype(jnp.int32))
+            del out["result"], out["alive"]
+            if not cfg.adapter_enabled:
+                for k in ("ad_found", "ad_pos", "rlen_pre_adapter",
+                          "rlen_post_adapter"):
+                    del out[k]
+        return pack_for_host(_slim_outputs(out, B, L, extra_i8),
+                             B, layout, mega, L, acc_on)
 
     if packed == "nib":
         def nib_step(p, qlut, ei, eb, eq, lengths, pre_trim, index_drop,
@@ -434,18 +549,17 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             bases, quals = _unpack_nib(p, qlut, lengths, ei, eb, eq)
             return se_step(bases, quals, lengths, pre_trim, index_drop,
                            dedup_out, valid)
-        step = jax.jit(nib_step)
+        inner, n_args = nib_step, 10
     elif packed:
         def packed_step(p, ei, eb, eq, lengths, pre_trim, index_drop,
                         dedup_out, valid):
             bases, quals = _unpack_bq(p, ei, eb, eq)
             return se_step(bases, quals, lengths, pre_trim, index_drop,
                            dedup_out, valid)
-        step = jax.jit(packed_step)
+        inner, n_args = packed_step, 9
     else:
-        step = jax.jit(se_step)
-    step.layout = layout
-    return step
+        inner, n_args = se_step, 7
+    return _finalize_step(inner, layout, accum, n_args)
 
 
 def _unpack_nib(p, qlut, lengths, idx, base, qual):
@@ -484,10 +598,13 @@ def _unpack_bq(p, idx, base, qual):
 
 
 @functools.lru_cache(maxsize=16)
-def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
-    """Memoized on (cfg, packed, mega) — see build_se_step."""
+def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
+                  accum=False):
+    """Memoized on (cfg, packed, mega, accum) — see build_se_step."""
     fview = _FilterCfgView(cfg)
     layout = {}
+    extra_i8 = _extra_i8_keys(cfg)
+    acc_on = bool(accum)
 
     def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop,
                 dedup_out, valid):
@@ -654,7 +771,34 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             "isize_hist": isize_hist,
             "corr_matrix": corr_matrix,
         })
-        return pack_for_host(_slim_outputs(out, B, L), B, layout, mega, L)
+        if cfg.lean:
+            # per-read result codes reduce to the exact counting histogram
+            # route_pe builds (max(r1,r2) weighted 2 over ~index_drop rows);
+            # fields that only feed the --failed_out / merge / fallback
+            # branches (excluded by lean) stay on device, and the overlap /
+            # adapter-recording scalars ship only for the configs whose host
+            # stage reads them
+            counted = valid & ~index_drop
+            out["result_hist"] = jnp.zeros((FILTER_RESULT_TYPES,), jnp.int32) \
+                .at[jnp.where(counted, jnp.maximum(result1, result2), 0)] \
+                .add(jnp.where(counted, 2, 0))
+            for k in ("result1", "result2", "alive1", "alive2", "emit_pair"):
+                del out[k]
+            if not cfg.correction_enabled:
+                # only the sparse-correction overflow fallback reads these
+                for k in ("ov_offset", "ov_olen", "ov_diff", "ov_ok",
+                          "ov_hasgap"):
+                    del out[k]
+            if not (cfg.adapter_enabled or cfg.correction_enabled):
+                del out["rlen1_pre_ovtrim"], out["rlen2_pre_ovtrim"]
+            if not cfg.adapter_enabled:
+                for k in ("ov_trimmed", "ad_found1", "ad_pos1", "ad_found2",
+                          "ad_pos2", "rlen1_pre_adapter",
+                          "rlen1_post_adapter", "rlen2_pre_adapter",
+                          "rlen2_post_adapter"):
+                    del out[k]
+        return pack_for_host(_slim_outputs(out, B, L, extra_i8),
+                             B, layout, mega, L, acc_on)
 
     if packed == "nib":
         def nib_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, qlut, l1, l2,
@@ -663,7 +807,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             b2, q2 = _unpack_nib(p2, qlut, l2, e2i, e2b, e2q)
             return pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
                            index_drop, dedup_out, valid)
-        step = jax.jit(nib_step)
+        inner, n_args = nib_step, 16
     elif packed:
         def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2,
                         pre_trim1, pre_trim2, index_drop, dedup_out, valid):
@@ -671,8 +815,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False):
             b2, q2 = _unpack_bq(p2, e2i, e2b, e2q)
             return pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
                            index_drop, dedup_out, valid)
-        step = jax.jit(packed_step)
+        inner, n_args = packed_step, 15
     else:
-        step = jax.jit(pe_step)
-    step.layout = layout
-    return step
+        inner, n_args = pe_step, 11
+    return _finalize_step(inner, layout, accum, n_args)

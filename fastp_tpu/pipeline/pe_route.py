@@ -112,12 +112,17 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
 
     rlen1 = out["rlen1"][:B]
     rlen2 = out["rlen2"][:B]
-    result1 = np.asarray(out["result1"][:B], np.int32)
-    result2 = np.asarray(out["result2"][:B], np.int32)
+    # lean mode ships no per-read result/alive arrays: they only feed the
+    # merge / --failed_out branches (excluded by lean) and the counting
+    # histogram, which the device already reduced (result_hist)
+    lean = "result1" not in out
+    if not lean:
+        result1 = np.asarray(out["result1"][:B], np.int32)
+        result2 = np.asarray(out["result2"][:B], np.int32)
+        alive1 = np.asarray(out["alive1"][:B], bool)
+        alive2 = np.asarray(out["alive2"][:B], bool)
     pass1 = np.asarray(out["pass1"][:B], bool)
     pass2 = np.asarray(out["pass2"][:B], bool)
-    alive1 = np.asarray(out["alive1"][:B], bool)
-    alive2 = np.asarray(out["alive2"][:B], bool)
     index_drop = np.asarray(index_drop[:B], bool)
     dedup_out = np.asarray(dedup_out[:B], bool)
     active = ~index_drop
@@ -160,8 +165,9 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
         m_emit = umA = umB = zeros_u8
 
     # --- non-merged routing (reference: src/peprocessor.cpp:525-579) ------
-    fr.add_filter_result_array(
-        np.maximum(result1, result2)[normal], 2)
+    if not lean:  # lean: the device-side result_hist carries these counts
+        fr.add_filter_result_array(
+            np.maximum(result1, result2)[normal], 2)
     live = normal & ~dedup_out
     pair_emit = live & pass1 & pass2
     p1only = live & pass1 & ~pass2

@@ -77,7 +77,7 @@ class _InterleavedPairSource:
 class PairEndProcessor(BaseProcessor):
     def __init__(self, opt: Options):
         super().__init__(opt)
-        inner = build_pe_step(self.cfg, mega=self._mega)
+        inner = build_pe_step(self.cfg, mega=self._mega, accum=self._accum)
         self._plain_layout = inner.layout
         self.step = self._wrap_step(inner)
         self._packed_step = None
@@ -269,14 +269,23 @@ class PairEndProcessor(BaseProcessor):
             t_fetch += _time.monotonic() - _t
             _t = _time.monotonic()
 
-            self.pre_stats1.add_batch(out["pre1"])
-            self.pre_stats2.add_batch(out["pre2"])
-            self.insert_hist[:len(out["isize_hist"])] += out["isize_hist"]
-            self.filter_result.add_polyx_trimmed(out["polyx_reads"], out["polyx_bases"])
-
+            if not self._accum:
+                # accumulate mode keeps these running sums ON DEVICE; they
+                # arrive once per run via _fold_accs() after the loop
+                self.pre_stats1.add_batch(out["pre1"])
+                self.pre_stats2.add_batch(out["pre2"])
+                self.insert_hist[:len(out["isize_hist"])] += out["isize_hist"]
+                self.filter_result.add_polyx_trimmed(out["polyx_reads"],
+                                                     out["polyx_bases"])
+                if opt.correction.enabled:
+                    self.filter_result.add_correction_matrix(out["corr_matrix"])
             if opt.correction.enabled:
-                self.filter_result.add_correction_matrix(out["corr_matrix"])
                 self.filter_result.inc_corrected_reads(int(out["corrected_reads"]))
+            if "result_hist" in out:
+                # lean without accumulate (mesh): the device-side histogram
+                # replaces route_pe's max(result1, result2) counting
+                self.filter_result.filter_read_stats += \
+                    out["result_hist"].astype(np.int64)
 
             rlen1 = out["rlen1"]
             rlen2 = out["rlen2"]
@@ -367,8 +376,8 @@ class PairEndProcessor(BaseProcessor):
             # --- outputs & filter-result counting --------------------------
             parts = {k: [] for k in ("out1", "out2", "single", "unpaired1",
                                      "unpaired2", "merged", "failed", "overlapped")}
-            result1 = out["result1"]
-            result2 = out["result2"]
+            result1 = out.get("result1")  # absent in lean mode, where the
+            result2 = out.get("result2")  # routed path never reads them
             pass1 = out["pass1"]
             pass2 = out["pass2"]
             merged_count = 0
@@ -524,7 +533,7 @@ class PairEndProcessor(BaseProcessor):
                     # both-fail pairs write NOTHING to --failed_out
                     # (no such branch in src/peprocessor.cpp:551-577)
 
-            if not merge_on:
+            if not merge_on and not self._accum:
                 self.post_stats1.add_batch(out["post1"])
                 self.post_stats2.add_batch(out["post2"])
             if merge_on:
@@ -556,6 +565,26 @@ class PairEndProcessor(BaseProcessor):
 
             t_flush += _time.monotonic() - _t
             pairs_seen += B
+
+        # accumulate mode: the run-level device accumulator arrives now
+        # (one fetch per chain instead of per batch)
+        for vals in self._fold_accs():
+            if "pre1" in vals:
+                self.pre_stats1.add_batch(vals["pre1"])
+                self.pre_stats2.add_batch(vals["pre2"])
+            if "post1" in vals and not opt.merge.enabled:
+                self.post_stats1.add_batch(vals["post1"])
+                self.post_stats2.add_batch(vals["post2"])
+            if "isize_hist" in vals:
+                self.insert_hist[:len(vals["isize_hist"])] += vals["isize_hist"]
+            if "polyx_reads" in vals:
+                self.filter_result.add_polyx_trimmed(vals["polyx_reads"],
+                                                     vals["polyx_bases"])
+            if "corr_matrix" in vals and opt.correction.enabled:
+                self.filter_result.add_correction_matrix(vals["corr_matrix"])
+            if "result_hist" in vals:
+                self.filter_result.filter_read_stats += \
+                    vals["result_hist"].astype(np.int64)
 
         if timing:
             sys.stderr.write(
@@ -592,32 +621,49 @@ class PairEndProcessor(BaseProcessor):
     def _dispatch_pe(self, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
                      idxp, dedp, valid):
         """Returns (device outputs, layout dict of the step that ran)."""
+        W = b1p.shape[1]
         nib1 = self._try_pack_nib(b1p, q1p)
         nib2 = self._try_pack_nib(b2p, q2p) if nib1 is not None else None
         if nib1 is not None and nib2 is not None:
             if self._nib_step is None:
-                inner = build_pe_step(self.cfg, packed="nib", mega=self._mega)
+                inner = build_pe_step(self.cfg, packed="nib",
+                                      mega=self._mega, accum=self._accum)
                 self._nib_layout = inner.layout
                 self._nib_step = self._wrap_step(inner)
             p1, e1i, e1b, e1q = nib1
             p2, e2i, e2b, e2q = nib2
-            return self._nib_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
-                                  self._qdict.copy(), l1p, l2p, pt1p, pt2p,
-                                  idxp, dedp, valid), self._nib_layout
+            out = self._call_step(
+                self._nib_step,
+                lambda: build_pe_step(self.cfg, packed="nib",
+                                      mega=self._mega, accum="spec"),
+                W, (p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
+                    self._qdict.copy(), l1p, l2p, pt1p, pt2p,
+                    idxp, dedp, valid))
+            return out, self._nib_layout
         pk1 = self._try_pack_inputs(b1p, q1p)
         pk2 = self._try_pack_inputs(b2p, q2p) if pk1 is not None else None
         if pk1 is None or pk2 is None:
-            return self.step(b1p, q1p, l1p, b2p, q2p, l2p,
-                             pt1p, pt2p, idxp, dedp, valid), self._plain_layout
+            out = self._call_step(
+                self.step,
+                lambda: build_pe_step(self.cfg, mega=self._mega,
+                                      accum="spec"),
+                W, (b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp,
+                    dedp, valid))
+            return out, self._plain_layout
         if self._packed_step is None:
-            inner = build_pe_step(self.cfg, packed=True, mega=self._mega)
+            inner = build_pe_step(self.cfg, packed=True, mega=self._mega,
+                                  accum=self._accum)
             self._packed_layout = inner.layout
             self._packed_step = self._wrap_step(inner)
         p1, e1i, e1b, e1q = pk1
         p2, e2i, e2b, e2q = pk2
-        return self._packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
-                                 l1p, l2p, pt1p, pt2p, idxp, dedp,
-                                 valid), self._packed_layout
+        out = self._call_step(
+            self._packed_step,
+            lambda: build_pe_step(self.cfg, packed=True, mega=self._mega,
+                                  accum="spec"),
+            W, (p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1p, l2p, pt1p,
+                pt2p, idxp, dedp, valid))
+        return out, self._packed_layout
 
     def _stat_post1_read(self, seq: bytes, qual: bytes):
         """Single-read post-stats accumulation for includeUnmerged mode."""

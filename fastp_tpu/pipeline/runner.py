@@ -225,12 +225,67 @@ class BaseProcessor:
         # per-read blob (one D2H buffer per device) + one replicated
         # stats blob (_mega_pack_sharded)
         self._mega = True if self.mesh is None else "sharded"
+        # accumulate mode: batch-reduced stat sums stay in a resident
+        # on-device accumulator (one fetch per RUN, not per batch) — the
+        # tunnel D2H is the wall.  Off on a mesh (stats replicate across
+        # shards there) and in merge mode (whose fallback path stats
+        # per-row on the host).
+        import os as _os
+        self._accum = False
+        if (self.mesh is None and not opt.merge.enabled
+                and not _os.environ.get("FASTP_TPU_NO_ACCUM")
+                and not _os.environ.get("FASTP_TPU_NO_PACK")):
+            self._accum = ("donate" if jax.default_backend() != "cpu"
+                           else True)
+        self._acc_state = {}
 
     def _wrap_step(self, step_fn):
         if self.mesh is None:
             return step_fn
         from ..parallel.mesh import build_sharded_step
         return build_sharded_step(step_fn, self.mesh, 0)
+
+    def _call_step(self, step, spec_builder, width: int, args):
+        """Invoke a device step, chaining the on-device accumulator in
+        accumulate mode.  Runs on the single upload worker, so the
+        per-(step, width) accumulator handoff is ordered."""
+        if not self._accum:
+            return step(*args)
+        import jax
+        st = self._acc_state.setdefault(id(step), {})
+        ent = st.get(width)
+        if ent is None:
+            # learn the accumulator length without compiling anything: the
+            # acc-less 'spec' twin populates its layout under eval_shape
+            spec = spec_builder()
+            jax.eval_shape(spec, *args)
+            meta = spec.layout["acc"]
+            n = (meta[-1][2] + meta[-1][3]) if meta else 0
+            acc = jax.device_put(np.zeros(n, np.int32))
+            ent = st[width] = [acc, None, 0]
+        out, ent[0] = step(*args, ent[0])
+        if ent[1] is None:
+            B = args[-1].shape[0]  # the valid mask is batch-length
+            ent[1] = step.layout.get(("shape", B, width)) or dict(step.layout)
+        return out
+
+    def _fold_accs(self):
+        """Fetch every accumulator chain (ONE D2H per chain — normally one
+        per run) and yield its unpacked value dict.  Callers feed each dict
+        through the same add_batch/... calls a per-batch fetch used, so the
+        existing width-growth logic applies.  Empty when accumulate mode is
+        off."""
+        if not self._accum or not self._acc_state:
+            return []
+        import jax
+        from .device import unpack_acc
+        out = []
+        for st in self._acc_state.values():
+            for acc, snap, _ in st.values():
+                if snap is not None:  # None: chain never ran a real batch
+                    out.append(unpack_acc(jax.device_get(acc), snap))
+        self._acc_state = {}
+        return out
 
     def _cpu_backend(self) -> bool:
         if not hasattr(self, "_is_cpu"):
@@ -470,7 +525,7 @@ class SingleEndProcessor(BaseProcessor):
 
     def __init__(self, opt: Options):
         super().__init__(opt)
-        inner = build_se_step(self.cfg, mega=self._mega)
+        inner = build_se_step(self.cfg, mega=self._mega, accum=self._accum)
         self._plain_layout = inner.layout
         self.step = self._wrap_step(inner)
         self._packed_step = None
@@ -486,27 +541,44 @@ class SingleEndProcessor(BaseProcessor):
     def _dispatch(self, bases_p, quals_p, lengths_p, pre_trim_p,
                   index_drop_p, dedup_p, valid):
         """Returns (device outputs, layout dict of the step that ran)."""
+        W = bases_p.shape[1]
         nib = self._try_pack_nib(bases_p, quals_p)
         if nib is not None:
             if self._nib_step is None:
-                inner = build_se_step(self.cfg, packed="nib", mega=self._mega)
+                inner = build_se_step(self.cfg, packed="nib",
+                                      mega=self._mega, accum=self._accum)
                 self._nib_layout = inner.layout
                 self._nib_step = self._wrap_step(inner)
             p, ei, eb, eq = nib
-            return self._nib_step(p, self._qdict.copy(), ei, eb, eq,
-                                  lengths_p, pre_trim_p, index_drop_p,
-                                  dedup_p, valid), self._nib_layout
+            out = self._call_step(
+                self._nib_step,
+                lambda: build_se_step(self.cfg, packed="nib",
+                                      mega=self._mega, accum="spec"),
+                W, (p, self._qdict.copy(), ei, eb, eq, lengths_p,
+                    pre_trim_p, index_drop_p, dedup_p, valid))
+            return out, self._nib_layout
         pk = self._try_pack_inputs(bases_p, quals_p)
         if pk is None:
-            return self.step(bases_p, quals_p, lengths_p, pre_trim_p,
-                             index_drop_p, dedup_p, valid), self._plain_layout
+            out = self._call_step(
+                self.step,
+                lambda: build_se_step(self.cfg, mega=self._mega,
+                                      accum="spec"),
+                W, (bases_p, quals_p, lengths_p, pre_trim_p,
+                    index_drop_p, dedup_p, valid))
+            return out, self._plain_layout
         if self._packed_step is None:
-            inner = build_se_step(self.cfg, packed=True, mega=self._mega)
+            inner = build_se_step(self.cfg, packed=True, mega=self._mega,
+                                  accum=self._accum)
             self._packed_layout = inner.layout
             self._packed_step = self._wrap_step(inner)
         p, ei, eb, eq = pk
-        return self._packed_step(p, ei, eb, eq, lengths_p, pre_trim_p,
-                                 index_drop_p, dedup_p, valid), self._packed_layout
+        out = self._call_step(
+            self._packed_step,
+            lambda: build_se_step(self.cfg, packed=True, mega=self._mega,
+                                  accum="spec"),
+            W, (p, ei, eb, eq, lengths_p, pre_trim_p, index_drop_p,
+                dedup_p, valid))
+        return out, self._packed_layout
 
     def process(self) -> Dict:
         opt = self.opt
@@ -599,17 +671,24 @@ class SingleEndProcessor(BaseProcessor):
             fetched, layout = out.result()
             out = unpack_from_host(fetched, layout)
 
-            self.pre_stats.add_batch(out["pre"])
-            self.post_stats.add_batch(out["post"])
+            if not self._accum:
+                self.pre_stats.add_batch(out["pre"])
+                self.post_stats.add_batch(out["post"])
+                self.filter_result.add_polyx_trimmed(out["polyx_reads"],
+                                                     out["polyx_bases"])
 
-            # filter result counting (exclude index-dropped and pad rows)
-            res = out["result"][:B][~index_drop]
-            self.filter_result.add_filter_result_array(res, 1)
-            self.filter_result.add_polyx_trimmed(out["polyx_reads"], out["polyx_bases"])
+            # filter result counting (exclude index-dropped and pad rows);
+            # in lean mode the device histogram carries the same counts
+            if "result" in out:
+                res = out["result"][:B][~index_drop]
+                self.filter_result.add_filter_result_array(res, 1)
+            elif "result_hist" in out:
+                self.filter_result.filter_read_stats += \
+                    out["result_hist"].astype(np.int64)
 
             # adapter recording (grouped; see group_slices)
-            ad_found = out["ad_found"]
-            if ad_found.any():
+            ad_found = out.get("ad_found")
+            if ad_found is not None and ad_found.any():
                 alen = len(adapter_seq1)
                 frows = np.flatnonzero(ad_found)
                 ps = out["ad_pos"][frows].astype(np.int64)
@@ -646,7 +725,7 @@ class SingleEndProcessor(BaseProcessor):
             emit = out["emit"]
             tf = out["total_front"]
             rlen = out["rlen"]
-            result = out["result"]
+            result = out.get("result")  # absent in lean mode (no --failed_out)
             emit_np = emit[:B]
             post_count = int(emit_np.sum())
             if nlib is not None:
@@ -701,6 +780,18 @@ class SingleEndProcessor(BaseProcessor):
                 failed_writer.write(b"".join(failed_parts))
 
             reads_seen += B
+
+        # accumulate mode: run-level device sums arrive once, here
+        for vals in self._fold_accs():
+            if "pre" in vals:
+                self.pre_stats.add_batch(vals["pre"])
+                self.post_stats.add_batch(vals["post"])
+            if "polyx_reads" in vals:
+                self.filter_result.add_polyx_trimmed(vals["polyx_reads"],
+                                                     vals["polyx_bases"])
+            if "result_hist" in vals:
+                self.filter_result.filter_read_stats += \
+                    vals["result_hist"].astype(np.int64)
 
         if opt.verbose:
             from ..utils.log import loginfo

@@ -66,6 +66,26 @@ class DeviceCfg:
     merge_include_unmerged: bool
     # misc
     overlapped_out: bool
+    # lean D2H: per-read result codes reduce to a device-side histogram and
+    # routing-only flags (alive/emit_pair) drop from the transfer.  Legal
+    # only when no consumer needs per-read codes: the native routed path is
+    # available and neither --failed_out (per-read failure tags) nor merge
+    # (include_unmerged re-routing) is active.  The tunnel D2H bandwidth is
+    # the pipeline's weather system; every per-read byte costs wall time.
+    lean: bool = False
+
+
+def _lean_ok(opt: Options) -> bool:
+    """Per-read result codes can stay on device (histogram only) iff the
+    native routed emitter handles output (the pure-Python fallback loop
+    reads codes per row) and no stream needs per-read failure reasons."""
+    import os
+    if os.environ.get("FASTP_TPU_NO_LEAN"):
+        return False
+    if opt.failedOut or opt.merge.enabled:
+        return False
+    from ..io import native as native_mod
+    return native_mod.get_lib() is not None
 
 
 def device_cfg_from_options(opt: Options) -> DeviceCfg:
@@ -115,4 +135,5 @@ def device_cfg_from_options(opt: Options) -> DeviceCfg:
         merge_enabled=opt.merge.enabled,
         merge_include_unmerged=opt.merge.includeUnmerged,
         overlapped_out=bool(opt.overlappedOut),
+        lean=_lean_ok(opt),
     )

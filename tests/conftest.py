@@ -4,7 +4,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 # the axon sitecustomize registers the TPU plugin (and wins over
-# JAX_PLATFORMS) whenever PALLAS_AXON_POOL_IPS is set -- clear it
+# JAX_PLATFORMS) whenever PALLAS_AXON_POOL_IPS is set -- clear it.
+# NOTE: on an axon host this in-process clear can be TOO LATE (the
+# sitecustomize latches state at interpreter startup); when the TPU
+# tunnel is down the first in-process jit then hangs ~30min in the axon
+# claim loop.  Run the suite with the env cleared AT EXEC:
+#   JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -85,7 +85,10 @@ def main():
         t["step"] += time.time() - t0
 
         t0 = time.time()
-        emitp = out["emit_pair"][:B].astype(np.uint8)
+        if "emit_pair" in out:
+            emitp = out["emit_pair"][:B].astype(np.uint8)
+        else:  # lean layouts ship pass flags only
+            emitp = (out["pass1"][:B] & out["pass2"][:B]).astype(np.uint8)
         for bt, tf_key, rl_key in ((batch1, "total_front1", "rlen1"),
                                    (batch2, "total_front2", "rlen2")):
             nbuf, noff, nlen_a = bt.name_buffers()
