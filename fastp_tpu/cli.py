@@ -293,7 +293,11 @@ def options_from_args(args, argv) -> Options:
                            args.filter_by_index_threshold)
 
     opt.batchSize = args.batch_size
-    opt.deviceCount = args.devices
+    # FASTP_TPU_DEVICES supplies the default shard count when --devices is
+    # left at 0 (operator knob; the test tier pins 1 to keep golden-parity
+    # subprocesses off the 8-way forced-host-device mesh)
+    opt.deviceCount = args.devices or int(os.environ.get(
+        "FASTP_TPU_DEVICES", "0"))
 
     opt.command = " ".join(argv) + " "
     return opt

@@ -11,6 +11,11 @@ os.environ["JAX_PLATFORM_NAME"] = "cpu"
 # claim loop.  Run the suite with the env cleared AT EXEC:
 #   JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# CLI subprocess tests default to ONE device: mesh byte-parity has its own
+# dedicated tests (test_multidevice passes --devices explicitly), and an
+# 8-way forced-host-device mesh on this 1-core host both multiplies compute
+# 8x and flakes XLA:CPU's 40s collective-rendezvous timeout under load.
+os.environ.setdefault("FASTP_TPU_DEVICES", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
