@@ -540,6 +540,10 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                 for k in ("ad_found", "ad_pos", "rlen_pre_adapter",
                           "rlen_post_adapter"):
                     del out[k]
+            # total_front is statically pre_trim unless a front trim/cut
+            # can move the window start on device (runner synthesizes it)
+            if cfg.front1 == 0 and not cfg.enabledFront:
+                del out["total_front"]
         return pack_for_host(_slim_outputs(out, B, L, extra_i8),
                              B, layout, mega, L, acc_on)
 
@@ -664,7 +668,9 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
 
         # sparse-correction slot budget scales with batch so realistic
         # error rates never overflow into the per-row host recompute
-        CORR_C = max(2048, B // 2)
+        # (FASTP_TPU_CORR_CAP: test hook to force the overflow fallback)
+        CORR_C = (int(_os.environ.get("FASTP_TPU_CORR_CAP", "0"))
+                  or max(2048, B // 2))
         if cfg.correction_enabled:
             do = ov_ok & ~ov["has_gap"]
             (w1, wq1, w2, wq2, corr_matrix, corrected, r1c, r2c, masks) = \
@@ -762,10 +768,10 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
             "rlen2_pre_ovtrim": rlen2_pre_ovtrim,
             "ad_found1": ad1["ad_found"], "ad_pos1": ad1["ad_pos"],
             "ad_found2": ad2["ad_found"], "ad_pos2": ad2["ad_pos"],
+            # (rlen{1,2}_post_adapter are not exported: unlike the SE
+            # runner's recording loop, no PE host stage reads them)
             "rlen1_pre_adapter": ad1["rlen_pre_adapter"],
-            "rlen1_post_adapter": ad1["rlen_post_adapter"],
             "rlen2_pre_adapter": ad2["rlen_pre_adapter"],
-            "rlen2_post_adapter": ad2["rlen_post_adapter"],
             "polyx_reads": px_r1 + px_r2,
             "polyx_bases": px_b1 + px_b2,
             "isize_hist": isize_hist,
@@ -784,19 +790,30 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                 .add(jnp.where(counted, 2, 0))
             for k in ("result1", "result2", "alive1", "alive2", "emit_pair"):
                 del out[k]
-            if not cfg.correction_enabled:
-                # only the sparse-correction overflow fallback reads these
-                for k in ("ov_offset", "ov_olen", "ov_diff", "ov_ok",
-                          "ov_hasgap"):
-                    del out[k]
+            # the five per-read overlap fields only serve the sparse-
+            # correction overflow fallback; a 1-bit corr_able flag (free:
+            # it rides the existing bool word) plus an exact host overlap
+            # re-analysis (hostview.host_analyze_overlap) replaces them
+            # (~128KB/32k-batch of tunnel D2H)
+            if cfg.correction_enabled:
+                out["corr_able"] = (out["ov_ok"] & ~out["ov_hasgap"]
+                                    & (out["ov_diff"] != 0))
+            for k in ("ov_offset", "ov_olen", "ov_diff", "ov_ok",
+                      "ov_hasgap"):
+                del out[k]
             if not (cfg.adapter_enabled or cfg.correction_enabled):
                 del out["rlen1_pre_ovtrim"], out["rlen2_pre_ovtrim"]
             if not cfg.adapter_enabled:
                 for k in ("ov_trimmed", "ad_found1", "ad_pos1", "ad_found2",
                           "ad_pos2", "rlen1_pre_adapter",
-                          "rlen1_post_adapter", "rlen2_pre_adapter",
-                          "rlen2_post_adapter"):
+                          "rlen2_pre_adapter"):
                     del out[k]
+            # total_front is statically pre_trim (host-known) unless a
+            # front trim/cut can move the window start on device
+            if cfg.front1 == 0 and not cfg.enabledFront:
+                del out["total_front1"]
+            if cfg.front2 == 0 and not cfg.enabledFront:
+                del out["total_front2"]
         return pack_for_host(_slim_outputs(out, B, L, extra_i8),
                              B, layout, mega, L, acc_on)
 

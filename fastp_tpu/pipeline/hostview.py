@@ -34,6 +34,40 @@ def rc_bytes(seq: bytes) -> bytes:
     return bytes(out)
 
 
+def host_analyze_overlap(s1: np.ndarray, s2: np.ndarray, diff_limit: int,
+                         overlap_require: int, diff_pct: float):
+    """Ungapped OverlapAnalysis::analyze for ONE pair — exact numpy port of
+    ops/overlap._analyze_loop's first-accept scan (reference:
+    src/overlapanalysis.cpp:16-116).  Used only on sparse-correction
+    overflow, where the per-read overlap fields were kept on device; rows
+    flagged corr_able were found by the UNGAPPED scan (gap candidates only
+    fill rows the ungapped scan missed), so this reproduces the device's
+    (offset, overlap_len) bit-for-bit for them.
+
+    s1/s2: uint8 arrays of the exact device window (start total_front,
+    length rlen_pre_ovtrim).  Returns (found, offset, olen, diff)."""
+    l1, l2 = len(s1), len(s2)
+    rc2 = np.frombuffer(s2.tobytes()[::-1].translate(_RC_TABLE), np.uint8)
+    dpct = np.float32(diff_pct)
+    for off in range(0, l1 - overlap_require):
+        olen = min(l1 - off, l2)
+        limit = min(diff_limit, int(np.float32(olen) * dpct))
+        mm = s1[off:off + olen] != rc2[:olen]
+        total = int(mm.sum())
+        if (int(mm[:50].sum()) <= limit
+                and (total <= limit or olen > 50)):
+            return True, off, olen, total
+    for k in range(0, l2 - overlap_require):
+        olen = min(l1, l2 - k)
+        limit = min(diff_limit, int(np.float32(olen) * dpct))
+        mm = rc2[k:k + olen] != s1[:olen]
+        total = int(mm.sum())
+        if (int(mm[:50].sum()) <= limit
+                and (total <= limit or olen > 50)):
+            return True, -k, olen, total
+    return False, 0, 0, 0
+
+
 def host_correct_pair(s1: bytearray, q1: bytearray, s2: bytearray, q2: bytearray,
                       len2: int, offset: int, overlap_len: int):
     """Exact port of BaseCorrector::correctByOverlapAnalysis body (the
@@ -58,7 +92,8 @@ class PairWindowView:
     """Per-batch lazy view of windowed (possibly corrected) pair content."""
 
     def __init__(self, seqs1, quals1, seqs2, quals2, out: Dict,
-                 correction_enabled: bool, width: int, corr_c: int = None):
+                 correction_enabled: bool, width: int, corr_c: int = None,
+                 ov_params: Optional[Tuple[int, int, float]] = None):
         self.seqs1 = seqs1
         self.quals1 = quals1
         self.seqs2 = seqs2
@@ -74,16 +109,24 @@ class PairWindowView:
             n1 = int(out["c1_count"])
             n2 = int(out["c2_count"])
             self.overflow = n1 > corr_c or n2 > corr_c
-            self.ov_offset = out["ov_offset"]
-            self.ov_olen = out["ov_olen"]
+            # lean steps keep the per-read overlap fields on device and ship
+            # a corr_able bit instead; overflow then re-derives (offset,
+            # olen) per row via host_analyze_overlap (ov_params)
+            self.ov_offset = out.get("ov_offset")
+            self.ov_olen = out.get("ov_olen")
+            self.rlen1_pre = out.get("rlen1_pre_ovtrim")
             self.rlen2_pre = out["rlen2_pre_ovtrim"]
+            self.ov_params = ov_params
             B = len(self.tf1)
             self.has_corr = np.zeros(B, bool)
             if self.overflow:
                 # sparse list truncated: every correctable row is recomputed
-                self.has_corr[:] = (out["ov_ok"][:B]
-                                    & ~out["ov_hasgap"][:B]
-                                    & (out["ov_diff"][:B] != 0))
+                if self.ov_offset is None:
+                    self.has_corr[:] = out["corr_able"][:B]
+                else:
+                    self.has_corr[:] = (out["ov_ok"][:B]
+                                        & ~out["ov_hasgap"][:B]
+                                        & (out["ov_diff"][:B] != 0))
                 self.c1 = self.c2 = None
             else:
                 # rows ascend (row-major nonzero) -> searchsorted per row
@@ -124,8 +167,16 @@ class PairWindowView:
         b2 = bytearray(s2)
         bq2 = bytearray(q2)
         if self.overflow:
+            if self.ov_offset is not None:
+                off, ol = int(self.ov_offset[i]), int(self.ov_olen[i])
+            else:
+                dl, ovr, dp = self.ov_params
+                p1, p2 = int(self.rlen1_pre[i]), int(self.rlen2_pre[i])
+                _, off, ol, _ = host_analyze_overlap(
+                    np.frombuffer(s1[:p1], np.uint8),
+                    np.frombuffer(s2[:p2], np.uint8), dl, ovr, dp)
             host_correct_pair(b1, bq1, b2, bq2, int(self.rlen2_pre[i]),
-                              int(self.ov_offset[i]), int(self.ov_olen[i]))
+                              off, ol)
         else:
             self._apply_sparse(b1, bq1, self.c1, i)
             self._apply_sparse(b2, bq2, self.c2, i)

@@ -21,7 +21,8 @@ from ..report.jsonreport import JsonReporter
 from ..report.htmlreport import HtmlReporter
 from ..utils.readname import fix_mgi
 from .device import build_pe_step
-from .hostview import PairWindowView, host_correct_pair
+from .hostview import (PairWindowView, host_analyze_overlap,
+                       host_correct_pair)
 from .runner import (BaseProcessor, SplitWriterSet, _OverRepCounter,
                      _round_width, group_slices, group_pair_slices)
 
@@ -266,6 +267,13 @@ class PairEndProcessor(BaseProcessor):
             _t = _time.monotonic()
             fetched, layout = out.result()
             out = unpack_from_host(fetched, layout)
+            # lean steps drop total_front when no front trim/cut can move
+            # the window start on device: it is exactly the host-known
+            # pre-trim (consumers only touch rows < B, so length B is fine)
+            if "total_front1" not in out:
+                out["total_front1"] = pre_trim1
+            if "total_front2" not in out:
+                out["total_front2"] = pre_trim2
             t_fetch += _time.monotonic() - _t
             _t = _time.monotonic()
 
@@ -291,7 +299,10 @@ class PairEndProcessor(BaseProcessor):
             rlen2 = out["rlen2"]
             view = PairWindowView(_SeqView(batch1), _SeqView(batch1, True),
                                   _SeqView(batch2), _SeqView(batch2, True),
-                                  out, opt.correction.enabled, batch1.width)
+                                  out, opt.correction.enabled, batch1.width,
+                                  ov_params=(opt.overlapDiffLimit,
+                                             opt.overlapRequire,
+                                             opt.overlapDiffPercentLimit / 100.0))
 
             # --- adapter recording -----------------------------------------
             if opt.adapter.enabled:
@@ -750,8 +761,14 @@ class PairEndProcessor(BaseProcessor):
                           out, B: int):
         """Exact host recomputation of every correctable row (sparse-list
         overflow path)."""
-        do = (out["ov_ok"][:B] & ~out["ov_hasgap"][:B]
-              & (out["ov_diff"][:B] != 0))
+        if "ov_ok" in out:
+            do = (out["ov_ok"][:B] & ~out["ov_hasgap"][:B]
+                  & (out["ov_diff"][:B] != 0))
+        else:  # lean step: the flag bit replaces the per-read ov fields
+            do = out["corr_able"][:B]
+        opt = self.opt
+        ovp = (opt.overlapDiffLimit, opt.overlapRequire,
+               opt.overlapDiffPercentLimit / 100.0)
         tf1, tf2 = out["total_front1"], out["total_front2"]
         b1, q1 = batch1.bases, batch1.quals
         b2, q2 = batch2.bases, batch2.quals
@@ -762,10 +779,16 @@ class PairEndProcessor(BaseProcessor):
             qq1 = bytearray(q1[i, s01:e1].tobytes())
             s2 = bytearray(b2[i, s02:e2].tobytes())
             qq2 = bytearray(q2[i, s02:e2].tobytes())
+            if "ov_offset" in out:
+                off, ol = int(out["ov_offset"][i]), int(out["ov_olen"][i])
+            else:
+                p1 = int(out["rlen1_pre_ovtrim"][i])
+                p2 = int(out["rlen2_pre_ovtrim"][i])
+                _, off, ol, _ = host_analyze_overlap(
+                    b1[i, s01:s01 + p1], b2[i, s02:s02 + p2], *ovp)
             host_correct_pair(s1, qq1, s2, qq2,
                               int(out["rlen2_pre_ovtrim"][i]),
-                              int(out["ov_offset"][i]),
-                              int(out["ov_olen"][i]))
+                              off, ol)
             b1[i, s01:e1] = np.frombuffer(bytes(s1), np.uint8)
             q1[i, s01:e1] = np.frombuffer(bytes(qq1), np.uint8)
             b2[i, s02:e2] = np.frombuffer(bytes(s2), np.uint8)

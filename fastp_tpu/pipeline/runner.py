@@ -670,6 +670,10 @@ class SingleEndProcessor(BaseProcessor):
             from .device import unpack_from_host
             fetched, layout = out.result()
             out = unpack_from_host(fetched, layout)
+            # lean steps drop total_front when no front trim/cut can move
+            # the window start on device: it is exactly the host pre-trim
+            if "total_front" not in out:
+                out["total_front"] = pre_trim
 
             if not self._accum:
                 self.pre_stats.add_batch(out["pre"])
