@@ -136,16 +136,25 @@ def _start_server(env):
         env=senv, cwd=BENCH_DIR, stdout=subprocess.PIPE,
         stderr=serve_err, text=True)
     # the warm run absorbs the TPU program-load lottery (100s-22min
-    # observed, plus a cold XLA compile when the persistent cache misses);
-    # note readline() blocks, so this deadline is only checked per line —
-    # it guards against a server that exits or babbles, not a silent hang
+    # observed, plus a cold XLA compile when the persistent cache misses).
+    # readline() blocks, so a watchdog kills the server at the deadline
+    # (readline then returns at EOF) — without it a silently-hung backend
+    # init (tunnel down: the axon claim loop emits nothing) wedges the
+    # whole bench forever.
+    import threading
     deadline = time.time() + 3600
-    while time.time() < deadline:
-        line = proc.stdout.readline()
-        if line.startswith("READY"):
-            return proc
-        if proc.poll() is not None:
-            return None
+    watchdog = threading.Timer(3600, proc.send_signal, (signal.SIGKILL,))
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("READY"):
+                return proc
+            if proc.poll() is not None or not line:
+                return None
+    finally:
+        watchdog.cancel()
     proc.send_signal(signal.SIGKILL)
     return None
 
