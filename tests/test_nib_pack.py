@@ -65,6 +65,51 @@ def test_fallback_on_many_quals(tmp_path):
     assert native.pack_nib(b.bases, b.quals, qd, qn) is None
 
 
+@pytest.mark.parametrize("seed,nqual,dirty", [
+    (0, 1, 0.0), (1, 2, 0.0), (2, 3, 0.0), (3, 4, 0.0),
+    (4, 4, 0.02), (5, 3, 0.005), (6, 2, 0.05), (7, 4, 0.0009),
+])
+def test_roundtrip_stress_vector_edges(seed, nqual, dirty):
+    """Randomized decode(pack(x)) == x over the SIMD path's edge cases:
+    partial dicts (nq 1-4), dict growth mid-stream (restart), exceptions
+    scattered across and inside 32-position vector blocks, odd tails, and
+    variable-length pad runs."""
+    native = _native()
+    rng = np.random.default_rng(seed)
+    B, W = 257, 106  # odd sizes: exercises the scalar tail
+    quals_pool = (np.array([35, 40, 51, 60], np.uint8))[:nqual]
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, W))
+    # bias late: a rare qual value should first appear mid-stream so the
+    # vector loop must fall back, learn, and restart with a bigger dict
+    qidx = rng.integers(0, nqual, size=(B, W))
+    if nqual > 1:
+        first_half = np.arange(B * W).reshape(B, W) < (B * W // 3)
+        qidx = np.where(first_half & (qidx == nqual - 1), 0, qidx)
+    quals = quals_pool[qidx]
+    if dirty:
+        m = rng.random((B, W)) < dirty
+        bases = np.where(m, np.uint8(ord("N")), bases)
+        m2 = rng.random((B, W)) < dirty / 2
+        quals = np.where(m2, np.uint8(2), quals)  # off-dict qual
+    lengths = rng.integers(1, W + 1, size=B).astype(np.int32)
+    mask = np.arange(W)[None, :] < lengths[:, None]
+    bases = np.where(mask, bases, 0).astype(np.uint8)
+    quals = np.where(mask, quals, 0).astype(np.uint8)
+    qd = np.zeros(4, np.uint8)
+    qn = np.zeros(1, np.int32)
+    res = native.pack_nib(bases, quals, qd, qn)
+    assert res is not None
+    p, ei, eb, eq, n = res
+    codes = np.stack([p & 15, p >> 4], -1).reshape(B, W).astype(np.int32)
+    blut = np.frombuffer(b"ACGT", np.uint8)
+    bb = np.where(mask, blut[codes & 3], 0).astype(np.uint8)
+    qq = np.where(mask, qd[codes >> 2], 0).astype(np.uint8)
+    bb.reshape(-1)[ei[:n]] = eb[:n]
+    qq.reshape(-1)[ei[:n]] = eq[:n]
+    assert (bb == bases).all(), "bases differ (seed=%d)" % seed
+    assert (qq == quals).all(), "quals differ (seed=%d)" % seed
+
+
 def _run_cli(args, cwd, extra_env=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
