@@ -10,3 +10,14 @@ if not os.environ.get("FASTP_TPU_NO_COMPILE_CACHE"):
                           os.path.join(os.path.expanduser("~"), ".cache",
                                        "fastp_tpu_xla"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# Keep <=64MB allocations in the glibc main arena (M_MMAP_THRESHOLD=-3):
+# by default glibc mmap()s buffers >128KB and munmap()s them on free, so
+# every batch's chunk/array temporaries re-page-fault from scratch —
+# measured ~30us/page on virtualized hosts (~16ms per fresh 11MB chunk).
+# Arena reuse keeps the pages resident across batches.
+try:
+    import ctypes as _ctypes
+    _ctypes.CDLL(None).mallopt(-3, 64 << 20)
+except Exception:
+    pass

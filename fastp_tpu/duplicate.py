@@ -44,12 +44,33 @@ _buf_pool_lock = threading.Lock()
 _BUF_POOL_MAX = 3  # buffers kept per size (accuracy 6 uses 3)
 
 
+def _commit_pages(b: np.ndarray) -> np.ndarray:
+    """Eagerly fault in a fresh filter buffer, preferably as 2MB huge
+    pages (MADV_HUGEPAGE=14; THP is 'madvise' on typical hosts).  Lazy
+    zero pages otherwise fault one 4KB page at a time from the random
+    test-and-set on the hot produce path — measured 215->49 ms/32k-batch
+    tapering over an entire 2M-pair job.  Huge pages also cut steady-state
+    TLB misses on the random probes."""
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        addr = b.ctypes.data
+        a0 = (addr + 4095) & ~4095
+        ln = b.nbytes - (a0 - addr)
+        if ln > 0:
+            libc.madvise(ctypes.c_void_p(a0), ctypes.c_size_t(ln), 14)
+    except Exception:
+        pass
+    b[:] = 0  # touch every page: commit now, off the per-batch path
+    return b
+
+
 def _acquire_buf(n_bytes: int) -> np.ndarray:
     with _buf_pool_lock:
         lst = _buf_pool.get(n_bytes)
         if lst:
             return lst.pop()
-    return np.zeros(n_bytes, np.uint8)
+    return _commit_pages(np.empty(n_bytes, np.uint8))
 
 
 def _release_bufs(bufs) -> None:

@@ -491,8 +491,15 @@ class ArrayFastqReader:
             else:
                 self._read_more()
 
-    def _read_more(self):
-        n = CHUNK if self._budget is None else min(CHUNK, self._budget)
+    def _read_more(self, want: Optional[int] = None):
+        # For plain files, read everything the caller still needs in ONE
+        # call: repeated CHUNK-sized `bytes +=` concats re-copy (and re-
+        # page-fault) the whole pending buffer per append — measured
+        # ~10 ms per extra append at batch sizes.  Gzip keeps CHUNK-sized
+        # compressed reads (the inflate ratio is unknown).
+        n = CHUNK if self._zipped or want is None else max(CHUNK, want)
+        if self._budget is not None:
+            n = min(n, self._budget)
         raw = self._fh.read(n) if n > 0 else b""
         if self._budget is not None:
             self._budget -= len(raw)
@@ -503,7 +510,8 @@ class ArrayFastqReader:
                 self._pending += data
             return
         self.bytes_read += len(raw)
-        self._pending += self._inf.feed(raw) if self._zipped else raw
+        data = self._inf.feed(raw) if self._zipped else raw
+        self._pending = data if not self._pending else self._pending + data
 
     def read_batch(self, n: int, width: int) -> Optional[ArrayBatch]:
         """Exactly n records (less only at EOF/stop); None when exhausted.
@@ -519,7 +527,7 @@ class ArrayFastqReader:
         while True:
             need = n * self._est + 4 * self._est
             while not self._eof and len(self._pending) < need:
-                self._read_more()
+                self._read_more(need - len(self._pending))
             buf = np.frombuffer(self._pending, np.uint8)
             (cnt, bases, quals, lengths, noff, nlen, soff, slen,
              consumed, stopped, need_wider) = self._native.tokenize(
