@@ -109,6 +109,13 @@ def _client_env():
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env["FASTP_TPU_SERVER"] = SOCK
+    # glibc (2.34+) MADV_HUGEPAGEs malloc arenas: on virtualized hosts with
+    # slow 4KB faults (30-65us measured) this cuts first-touch cost ~28x.
+    # Tunables are only read at process start, so set it for the children.
+    if "glibc.malloc.hugetlb" not in env.get("GLIBC_TUNABLES", ""):
+        env["GLIBC_TUNABLES"] = (env.get("GLIBC_TUNABLES", "")
+                                 + (":" if env.get("GLIBC_TUNABLES") else "")
+                                 + "glibc.malloc.hugetlb=1")
     return env
 
 

@@ -44,13 +44,15 @@ _buf_pool_lock = threading.Lock()
 _BUF_POOL_MAX = 3  # buffers kept per size (accuracy 6 uses 3)
 
 
-def _commit_pages(b: np.ndarray) -> np.ndarray:
-    """Eagerly fault in a fresh filter buffer, preferably as 2MB huge
-    pages (MADV_HUGEPAGE=14; THP is 'madvise' on typical hosts).  Lazy
-    zero pages otherwise fault one 4KB page at a time from the random
-    test-and-set on the hot produce path — measured 215->49 ms/32k-batch
-    tapering over an entire 2M-pair job.  Huge pages also cut steady-state
-    TLB misses on the random probes."""
+def _madv_huge(b: np.ndarray) -> np.ndarray:
+    """MADV_HUGEPAGE (14) the filter buffer.  Free when THP is granted
+    (2MB faults instead of 4KB, plus fewer TLB misses on the random
+    probes); a no-op where the hypervisor never assembles huge pages
+    (AnonHugePages stays 0 on this host).  Deliberately NOT an eager
+    b[:]=0 commit: on virtualized hosts with 60-450us write faults,
+    committing 768MB up-front costs 90-180s PER PROCESS, while lazy
+    np.zeros pages fault only where a bit is actually set and unwritten
+    pages read through the shared zero page for free."""
     try:
         import ctypes
         libc = ctypes.CDLL(None, use_errno=True)
@@ -61,7 +63,6 @@ def _commit_pages(b: np.ndarray) -> np.ndarray:
             libc.madvise(ctypes.c_void_p(a0), ctypes.c_size_t(ln), 14)
     except Exception:
         pass
-    b[:] = 0  # touch every page: commit now, off the per-batch path
     return b
 
 
@@ -70,7 +71,7 @@ def _acquire_buf(n_bytes: int) -> np.ndarray:
         lst = _buf_pool.get(n_bytes)
         if lst:
             return lst.pop()
-    return _commit_pages(np.empty(n_bytes, np.uint8))
+    return _madv_huge(np.zeros(n_bytes, np.uint8))
 
 
 def _release_bufs(bufs) -> None:
