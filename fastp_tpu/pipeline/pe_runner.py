@@ -98,6 +98,23 @@ class PairEndProcessor(BaseProcessor):
         self.overrep_post2 = _OverRepCounter(self.post_stats2, opt)
 
     def process(self) -> Dict:
+        import os as _os
+        prof_path = _os.environ.get("FASTP_TPU_PROFILE")
+        if prof_path:
+            # main-thread CPU profile of the route/unpack path (the prep/
+            # upload/fetch workers are NOT covered; see FASTP_TPU_TIMING
+            # for their wall split).  Dumps pstats to $FASTP_TPU_PROFILE.
+            import cProfile
+            prof = cProfile.Profile()
+            prof.enable()
+            try:
+                return self._process_inner()
+            finally:
+                prof.disable()
+                prof.dump_stats(prof_path)
+        return self._process_inner()
+
+    def _process_inner(self) -> Dict:
         opt = self.opt
         if opt.interleavedInput:
             pair_src = _InterleavedPairSource(open_batch_reader(

@@ -132,9 +132,31 @@ def serve(sock_path: str, warm: bool = False, warm_run=None) -> int:
     srv.bind(sock_path)
     srv.listen(8)
     if warm or warm_run:
-        # touch the accelerator so PJRT client init happens before READY
+        # Touch the accelerator so PJRT client init happens before READY.
+        # Out-of-tree backend registration can fail transiently (tunnel
+        # hiccup while the plugin claims the device -> "not in the list of
+        # known backends"), so retry a few times before giving up.
+        # Out-of-tree backend registration can fail transiently (tunnel
+        # hiccup while the plugin claims the device -> "not in the list of
+        # known backends").  Plugin discovery runs once per process, so an
+        # in-process retry cannot recover — re-exec the server instead
+        # (bounded by FASTP_TPU_SERVE_RETRY).
+        import time as _time
         import jax
-        jax.devices()
+        try:
+            jax.devices()
+        except RuntimeError as e:
+            tries = int(os.environ.get("FASTP_TPU_SERVE_RETRY", "0"))
+            if tries >= 20:
+                raise
+            sys.stderr.write("serve: backend init failed (%s); re-exec "
+                             "%d/20 in 15s\n" % (e, tries + 1))
+            sys.stderr.flush()
+            _time.sleep(15)
+            os.environ["FASTP_TPU_SERVE_RETRY"] = str(tries + 1)
+            srv.close()
+            os.execv(sys.executable, [sys.executable, "-m", "fastp_tpu"]
+                     + sys.argv[1:])
     if warm_run:
         # run one representative job before READY: batches pad to
         # --batch_size, so a small input with production flags compiles AND
