@@ -15,6 +15,7 @@ fastp_tpu/native is used automatically when built (see io/native.py).
 """
 from __future__ import annotations
 
+import os
 import sys
 import zlib
 from typing import Iterator, List, Optional, Tuple
@@ -458,6 +459,29 @@ class ArrayFastqReader:
         if byte_range is not None:
             self._fh.seek(byte_range[0])
             self._budget = byte_range[1] - byte_range[0]
+        # plain seekable files map whole: the tokenizer then reads straight
+        # out of the page cache (zero userspace copies — the read()+bytes
+        # concat path costs one full pass of memory traffic per batch,
+        # 10-100ms each under this host's fluctuating memory weather)
+        self._mm = None
+        self._mm_off = self._mm_end = 0
+        if (not self._zipped and self._fh is not sys.stdin.buffer
+                and record_range is None):
+            try:
+                import mmap as _mmap
+                size = os.fstat(self._fh.fileno()).st_size
+                if size > 0:
+                    self._mm = _mmap.mmap(self._fh.fileno(), size,
+                                          prot=_mmap.PROT_READ)
+                    try:
+                        self._mm.madvise(_mmap.MADV_SEQUENTIAL)
+                    except (AttributeError, OSError):
+                        pass
+                    self._mm_buf = np.frombuffer(self._mm, np.uint8)
+                    self._mm_off = byte_range[0] if byte_range else 0
+                    self._mm_end = (byte_range[1] if byte_range else size)
+            except (OSError, ValueError):
+                self._mm = None
         # record-range shard of a non-seekable (gzip) stream: skip 4*start
         # lines, then stop after end-start records (end None = unbounded)
         self._skip_lines = 0
@@ -513,6 +537,34 @@ class ArrayFastqReader:
         data = self._inf.feed(raw) if self._zipped else raw
         self._pending = data if not self._pending else self._pending + data
 
+    def _read_batch_mmap(self, n: int, width: int) -> Optional[ArrayBatch]:
+        """Tokenize directly out of the mapped file: no read() copy, no
+        pending-buffer concat; the batch's chunk view pins the map."""
+        if self._mm_off >= self._mm_end:
+            return None
+        while True:
+            buf = self._mm_buf[self._mm_off:self._mm_end]
+            (cnt, bases, quals, lengths, noff, nlen, soff, slen,
+             consumed, stopped, need_wider) = self._native.tokenize(
+                buf, True, n, width, self.phred64)
+            if need_wider:
+                width = _round_width32(need_wider)
+                continue
+            if stopped:
+                self._stopped = True
+            if cnt == 0:
+                self._mm_off = self._mm_end
+                return None
+            batch = ArrayBatch(cnt, width, bases[:cnt], quals[:cnt],
+                               lengths[:cnt], chunk=buf,
+                               name_off=noff[:cnt], name_len=nlen[:cnt],
+                               strand_off=soff[:cnt], strand_len=slen[:cnt])
+            self._mm_off += consumed
+            self.bytes_read += consumed
+            if self._records_left is not None:
+                self._records_left -= cnt
+            return batch
+
     def read_batch(self, n: int, width: int) -> Optional[ArrayBatch]:
         """Exactly n records (less only at EOF/stop); None when exhausted.
         Width auto-grows for long reads; check ``batch.width``."""
@@ -524,6 +576,8 @@ class ArrayFastqReader:
             if self._records_left <= 0:
                 return None
             n = min(n, self._records_left)
+        if self._mm is not None:
+            return self._read_batch_mmap(n, width)
         while True:
             need = n * self._est + 4 * self._est
             while not self._eof and len(self._pending) < need:
@@ -553,6 +607,13 @@ class ArrayFastqReader:
             self._est = max(self._est + 64, int(self._est * 1.5))
 
     def close(self):
+        if self._mm is not None:
+            self._mm_buf = None
+            try:
+                self._mm.close()
+            except BufferError:
+                pass  # batch chunk views still alive; GC will unmap
+            self._mm = None
         if self._fh is not sys.stdin.buffer:
             self._fh.close()
 

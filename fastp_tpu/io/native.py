@@ -148,6 +148,28 @@ def _bind(lib):
         _u8p, ctypes.c_int, _u8p, ctypes.c_int,            # prefix, delim
         _u8p, _i64p, _i32p, _u8p, _i64p, _i32p,            # out1, out2
         _i32p, _i32p, ctypes.POINTER(ctypes.c_int64)]      # pre1, pre2, w2
+    lib.adrec_create.restype = ctypes.c_void_p
+    lib.adrec_create.argtypes = []
+    lib.adrec_free.restype = None
+    lib.adrec_free.argtypes = [ctypes.c_void_p]
+    lib.adrec_add_one.restype = None
+    lib.adrec_add_one.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64,
+                                  ctypes.c_int32, ctypes.c_int64]
+    lib.adrec_add_pairs.restype = None
+    lib.adrec_add_pairs.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
+        _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_int64]
+    lib.adrec_add_pair_strs.restype = None
+    lib.adrec_add_pair_strs.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
+        ctypes.c_int64]
+    lib.adrec_export_size.restype = None
+    lib.adrec_export_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib.adrec_export.restype = None
+    lib.adrec_export.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                 _u8p, _i64p, _i64p]
     lib.fq_emit_merged.restype = ctypes.c_int64
     lib.fq_emit_merged.argtypes = (
         _side + [_i32p, _i32p]                        # tf/rlen 1
@@ -392,3 +414,70 @@ def serialize(namebuf, name_off, name_len, strandbuf, strand_off, strand_len,
                          np.ascontiguousarray(emit, dtype=np.uint8),
                          n, width, out)
     return out[:int(w)].tobytes()
+
+
+class AdapterRecorder:
+    """Native adapter-count maps (reference: src/filterresult.cpp:115-183).
+
+    Owns the two insertion-ordered count maps; all mutations go through
+    native code so the per-row PE read-through recording costs no Python.
+    export() rebuilds the plain dicts for reports/state_dict."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        assert self._lib is not None
+        self._h = self._lib.adrec_create()
+
+    def add_one(self, adapter_bytes: bytes, is_r2: bool, count: int):
+        buf = np.frombuffer(adapter_bytes, np.uint8)
+        self._lib.adrec_add_one(self._h, buf, len(adapter_bytes),
+                                int(is_r2), count)
+
+    def add_pair_strs(self, a1: bytes, a2: bytes, count: int):
+        b1 = np.frombuffer(a1, np.uint8) if a1 else np.zeros(1, np.uint8)
+        b2 = np.frombuffer(a2, np.uint8) if a2 else np.zeros(1, np.uint8)
+        self._lib.adrec_add_pair_strs(self._h, b1, len(a1), b2, len(a2),
+                                      count)
+
+    def add_pairs(self, ba1, lo1, hi1, ba2, lo2, hi2, rows):
+        n = len(rows)
+        if n == 0:
+            return
+        self._lib.adrec_add_pairs(
+            self._h, np.ascontiguousarray(ba1), ba1.shape[1],
+            np.ascontiguousarray(ba2), ba2.shape[1],
+            np.ascontiguousarray(rows, np.int64),
+            np.ascontiguousarray(lo1, np.int64),
+            np.ascontiguousarray(hi1, np.int64),
+            np.ascontiguousarray(lo2, np.int64),
+            np.ascontiguousarray(hi2, np.int64), n)
+
+    def export(self, is_r2: bool) -> dict:
+        import ctypes as _ct
+        ne = _ct.c_int64(0)
+        nb = _ct.c_int64(0)
+        self._lib.adrec_export_size(self._h, int(is_r2),
+                                    _ct.byref(ne), _ct.byref(nb))
+        ne, nb = int(ne.value), int(nb.value)
+        if ne == 0:
+            return {}
+        keys = np.empty(nb, np.uint8)
+        lens = np.empty(ne, np.int64)
+        counts = np.empty(ne, np.int64)
+        self._lib.adrec_export(self._h, int(is_r2), keys, lens, counts)
+        blob = keys.tobytes().decode("latin-1")
+        out = {}
+        off = 0
+        for i in range(ne):
+            L = int(lens[i])
+            out[blob[off:off + L]] = int(counts[i])
+            off += L
+        return out
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.adrec_free(self._h)
+                self._h = None
+        except Exception:
+            pass

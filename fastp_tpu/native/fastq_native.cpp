@@ -604,3 +604,139 @@ int64_t collect_seed_hits(const uint8_t* bases, const int32_t* lengths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Adapter-count recorder (reference: src/filterresult.cpp:115-183).
+//
+// The report's adapter maps receive one entry per trimmed read; with
+// read-through PE trimming nearly every key is unique, so the Python
+// per-row dict path costs ~30s per 2M pairs (per-row tobytes/decode).
+// This keeps the maps native: an unordered_map for lookup plus an
+// insertion-ordered vector so the exported dict iterates exactly like the
+// Python dict would have.  Cap semantics are bit-exact with the
+// reference: counters update before map logic; a NEW key is dropped when
+// the map already holds >20000 entries (for pairs, a dropped adapter1
+// also skips adapter2 — the reference's early return), and dropped when
+// >5000 entries and the key is low-complexity.
+#include <unordered_map>
+
+namespace {
+
+struct AdRecMap {
+    std::unordered_map<std::string, int64_t> idx;   // key -> slot
+    std::vector<std::pair<std::string, int64_t>> order;  // insertion order
+};
+
+struct AdRec {
+    AdRecMap m1, m2;
+};
+
+inline bool adrec_low_complexity(const uint8_t* s, int64_t len) {
+    // reference: src/filterresult.cpp:115-122
+    int64_t diff = 0;
+    for (int64_t i = 1; i < len; i++) diff += (s[i] != s[i - 1]);
+    return diff < len / 2;
+}
+
+// returns false when a NEW key was rejected by the 20000 cap (pair path
+// uses this to skip adapter2, mirroring the reference's early return);
+// low-complexity rejection of a new key returns... the reference returns
+// there too, so both rejections report false.
+inline bool adrec_add(AdRecMap& m, const uint8_t* s, int64_t len,
+                      int64_t count) {
+    std::string key(reinterpret_cast<const char*>(s), (size_t)len);
+    auto it = m.idx.find(key);
+    if (it != m.idx.end()) {
+        m.order[(size_t)it->second].second += count;
+        return true;
+    }
+    if ((int64_t)m.order.size() > 20000) return false;
+    if ((int64_t)m.order.size() > 5000 && adrec_low_complexity(s, len))
+        return false;
+    m.idx.emplace(std::move(key), (int64_t)m.order.size());
+    m.order.emplace_back(std::string(reinterpret_cast<const char*>(s),
+                                     (size_t)len), count);
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* adrec_create() { return new AdRec(); }
+void adrec_free(void* h) { delete static_cast<AdRec*>(h); }
+
+// single-key add (reference: src/filterresult.cpp:124-153 map part only;
+// the trimmed reads/bases counters stay in Python, vectorized)
+void adrec_add_one(void* h, const uint8_t* s, int64_t len, int32_t is_r2,
+                   int64_t count) {
+    if (len <= 0) return;
+    AdRec* r = static_cast<AdRec*>(h);
+    adrec_add(is_r2 ? r->m2 : r->m1, s, len, count);
+}
+
+// bulk PE overlap-trim path (reference: src/filterresult.cpp:155-183):
+// for each k in order, add ba1[rows[k], lo1[k]:hi1[k]] to map1 and
+// ba2[rows[k], lo2[k]:hi2[k]] to map2; a capped NEW adapter1 key skips
+// adapter2 (early return), and empty slices skip their map but not the
+// other (empty adapter1 falls through to adapter2 like the reference's
+// `if(!adapter1.empty())`).
+void adrec_add_pairs(void* h, const uint8_t* ba1, int64_t W1,
+                     const uint8_t* ba2, int64_t W2,
+                     const int64_t* rows,
+                     const int64_t* lo1, const int64_t* hi1,
+                     const int64_t* lo2, const int64_t* hi2, int64_t n) {
+    AdRec* r = static_cast<AdRec*>(h);
+    for (int64_t k = 0; k < n; k++) {
+        int64_t row = rows[k];
+        int64_t a1 = lo1[k], b1 = hi1[k];
+        int64_t L1 = b1 > a1 ? b1 - a1 : 0;
+        if (L1 > 0) {
+            if (!adrec_add(r->m1, ba1 + row * W1 + a1, L1, 1)) continue;
+        }
+        int64_t a2 = lo2[k], b2 = hi2[k];
+        int64_t L2 = b2 > a2 ? b2 - a2 : 0;
+        if (L2 > 0) adrec_add(r->m2, ba2 + row * W2 + a2, L2, 1);
+    }
+}
+
+// single pair add with explicit strings (non-bulk callers: corrected rows,
+// synthesized prefixes); count applies to both maps; mirrors
+// add_adapter_trimmed_pair exactly (reference: src/filterresult.cpp:155-183)
+void adrec_add_pair_strs(void* h, const uint8_t* s1, int64_t l1,
+                         const uint8_t* s2, int64_t l2, int64_t count) {
+    AdRec* r = static_cast<AdRec*>(h);
+    if (l1 > 0) {
+        if (!adrec_add(r->m1, s1, l1, count)) return;
+    }
+    if (l2 > 0) adrec_add(r->m2, s2, l2, count);
+}
+
+// export protocol: size query, then fill caller buffers.  Entries stream
+// in insertion order so the Python dict reconstruction iterates exactly
+// like the incremental dict would have.
+void adrec_export_size(void* h, int32_t is_r2, int64_t* n_entries,
+                       int64_t* n_bytes) {
+    AdRec* r = static_cast<AdRec*>(h);
+    AdRecMap& m = is_r2 ? r->m2 : r->m1;
+    int64_t nb = 0;
+    for (auto& kv : m.order) nb += (int64_t)kv.first.size();
+    *n_entries = (int64_t)m.order.size();
+    *n_bytes = nb;
+}
+
+void adrec_export(void* h, int32_t is_r2, uint8_t* keys_concat,
+                  int64_t* key_lens, int64_t* counts) {
+    AdRec* r = static_cast<AdRec*>(h);
+    AdRecMap& m = is_r2 ? r->m2 : r->m1;
+    int64_t off = 0;
+    for (size_t i = 0; i < m.order.size(); i++) {
+        const std::string& k = m.order[i].first;
+        memcpy(keys_concat + off, k.data(), k.size());
+        key_lens[i] = (int64_t)k.size();
+        counts[i] = m.order[i].second;
+        off += (int64_t)k.size();
+    }
+}
+
+}  // extern "C"

@@ -99,11 +99,12 @@ class PairEndProcessor(BaseProcessor):
 
     def process(self) -> Dict:
         import os as _os
-        prof_path = _os.environ.get("FASTP_TPU_PROFILE")
+        prof_path = _os.environ.get("FASTP_TPU_CPUPROFILE")
         if prof_path:
             # main-thread CPU profile of the route/unpack path (the prep/
             # upload/fetch workers are NOT covered; see FASTP_TPU_TIMING
-            # for their wall split).  Dumps pstats to $FASTP_TPU_PROFILE.
+            # for their wall split).  Dumps pstats to $FASTP_TPU_CPUPROFILE
+            # (FASTP_TPU_PROFILE is the xprof device-trace dir, cli.py).
             import cProfile
             prof = cProfile.Profile()
             prof.enable()
@@ -336,19 +337,21 @@ class PairEndProcessor(BaseProcessor):
                 fr = self.filter_result
                 rows = np.flatnonzero(ovt)
                 if rows.size:
-                    # grouped: batches repeat the same few adapter strings
-                    # thousands of times; count-aware adds replay the exact
-                    # sequential insertion order (see group_pair_slices)
                     s01 = tf1a[rows].astype(np.int64)
                     s02 = tf2a[rows].astype(np.int64)
-                    for _, b1b, b2b, c in group_pair_slices(
-                            ba1, s01 + out["rlen1_pre_adapter"][rows],
-                            s01 + out["rlen1_pre_ovtrim"][rows],
-                            ba2, s02 + out["rlen2_pre_adapter"][rows],
-                            s02 + out["rlen2_pre_ovtrim"][rows], rows):
-                        fr.add_adapter_trimmed_pair(
-                            b1b.decode("latin-1"), b2b.decode("latin-1"),
-                            count=c)
+                    lo1 = s01 + out["rlen1_pre_adapter"][rows]
+                    hi1 = s01 + out["rlen1_pre_ovtrim"][rows]
+                    lo2 = s02 + out["rlen2_pre_adapter"][rows]
+                    hi2 = s02 + out["rlen2_pre_ovtrim"][rows]
+                    # native bulk recorder (exact row order, caps in C++);
+                    # grouped Python replay only without the native lib
+                    if not fr.add_adapter_trimmed_pairs_bulk(
+                            ba1, lo1, hi1, ba2, lo2, hi2, rows):
+                        for _, b1b, b2b, c in group_pair_slices(
+                                ba1, lo1, hi1, ba2, lo2, hi2, rows):
+                            fr.add_adapter_trimmed_pair(
+                                b1b.decode("latin-1"), b2b.decode("latin-1"),
+                                count=c)
                 for found_key, pos_key, pre_key, slicer, tfa, ba, aseq, is_r2 in (
                         ("ad_found1", "ad_pos1", "rlen1_pre_adapter",
                          view.r1_slice, tf1a, ba1, a1, False),

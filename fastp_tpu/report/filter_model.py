@@ -27,8 +27,19 @@ class FilterResult:
         self.trimmed_adapter_reads = 0
         self.trimmed_adapter_bases = 0
         self.merged_pairs = 0
-        self.adapter1 = {}
-        self.adapter2 = {}
+        self._adapter1 = {}
+        self._adapter2 = {}
+        # native recorder (fastq_native.cpp adrec_*): keeps the adapter
+        # count maps in C++ so per-row PE read-through recording costs no
+        # Python (~30s per 2M pairs measured in the dict path); exported
+        # to plain dicts on first read (reports/state_dict).
+        self._adrec = None
+        try:
+            from ..io import native as _native_mod
+            if _native_mod.get_lib() is not None:
+                self._adrec = _native_mod.AdapterRecorder()
+        except Exception:
+            self._adrec = None
         self.correction_matrix = np.zeros(64, np.int64)
         self.corrected_reads = 0
         self.polyx_trimmed_reads = np.zeros(4, np.int64)
@@ -61,7 +72,10 @@ class FilterResult:
         if inc_trimmed_counter:
             self.trimmed_adapter_reads += count
         self.trimmed_adapter_bases += len(adapter) * count
-        m = self.adapter2 if is_r2 else self.adapter1
+        if self._adrec is not None:
+            self._adrec.add_one(adapter.encode("latin-1"), is_r2, count)
+            return
+        m = self._adapter2 if is_r2 else self._adapter1
         if adapter in m:
             m[adapter] += count
         else:
@@ -76,22 +90,66 @@ class FilterResult:
         capped adapter1 also skips recording adapter2, replicated here)."""
         self.trimmed_adapter_reads += 2 * count
         self.trimmed_adapter_bases += (len(adapter1) + len(adapter2)) * count
+        if self._adrec is not None:
+            self._adrec.add_pair_strs(adapter1.encode("latin-1"),
+                                      adapter2.encode("latin-1"), count)
+            return
         if adapter1:
-            if adapter1 in self.adapter1:
-                self.adapter1[adapter1] += count
+            if adapter1 in self._adapter1:
+                self._adapter1[adapter1] += count
             else:
-                if len(self.adapter1) > MAX_ADAPTER_REC or (
-                        len(self.adapter1) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter1)):
+                if len(self._adapter1) > MAX_ADAPTER_REC or (
+                        len(self._adapter1) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter1)):
                     return
-                self.adapter1[adapter1] = count
+                self._adapter1[adapter1] = count
         if adapter2:
-            if adapter2 in self.adapter2:
-                self.adapter2[adapter2] += count
+            if adapter2 in self._adapter2:
+                self._adapter2[adapter2] += count
             else:
-                if len(self.adapter2) > MAX_ADAPTER_REC or (
-                        len(self.adapter2) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter2)):
+                if len(self._adapter2) > MAX_ADAPTER_REC or (
+                        len(self._adapter2) > LOW_COMPLEXITY_SKIP and _is_low_complexity(adapter2)):
                     return
-                self.adapter2[adapter2] = count
+                self._adapter2[adapter2] = count
+
+    def add_adapter_trimmed_pairs_bulk(self, ba1, lo1, hi1, ba2, lo2, hi2,
+                                       rows):
+        """Bulk PE overlap-trim recording: slices ba1[rows[k], lo1:hi1] /
+        ba2[rows[k], lo2:hi2] in row order.  Counters vectorize here;
+        the map updates run natively (exact cap/order semantics).
+        Callers without the native lib use the grouped Python path."""
+        n = len(rows)
+        if n == 0:
+            return False
+        if self._adrec is None:
+            return False
+        L1 = np.maximum(hi1 - lo1, 0)
+        L2 = np.maximum(hi2 - lo2, 0)
+        self.trimmed_adapter_reads += 2 * n
+        self.trimmed_adapter_bases += int(L1.sum()) + int(L2.sum())
+        self._adrec.add_pairs(ba1, lo1, hi1, ba2, lo2, hi2, rows)
+        return True
+
+    # -- exported views (materialized from the native recorder) -------------
+    @property
+    def adapter1(self):
+        if self._adrec is not None:
+            return self._adrec.export(False)
+        return self._adapter1
+
+    @property
+    def adapter2(self):
+        if self._adrec is not None:
+            return self._adrec.export(True)
+        return self._adapter2
+
+    def _materialize(self):
+        """Switch to plain-dict mode (used before cross-host merging,
+        which mutates the dicts without cap semantics, like the
+        reference's FilterResult::merge)."""
+        if self._adrec is not None:
+            self._adapter1 = self._adrec.export(False)
+            self._adapter2 = self._adrec.export(True)
+            self._adrec = None
 
     # -- cross-host merge (reference: FilterResult::merge,
     #    src/filterresult.cpp:38-89) ----------------------------------------
@@ -109,11 +167,12 @@ class FilterResult:
         }
 
     def merge_state(self, st: dict):
+        self._materialize()
         self.filter_read_stats += st["filter_read_stats"]
         self.trimmed_adapter_reads += st["trimmed_adapter_reads"]
         self.trimmed_adapter_bases += st["trimmed_adapter_bases"]
         self.merged_pairs += st["merged_pairs"]
-        for key, m in (("adapter1", self.adapter1), ("adapter2", self.adapter2)):
+        for key, m in (("adapter1", self._adapter1), ("adapter2", self._adapter2)):
             for k, v in st[key].items():
                 m[k] = m.get(k, 0) + v
         self.correction_matrix += st["correction_matrix"]
