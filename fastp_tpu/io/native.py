@@ -159,6 +159,10 @@ def _bind(lib):
     lib.adrec_add_pairs.argtypes = [
         ctypes.c_void_p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
         _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_int64]
+    lib.adrec_add_rows.restype = None
+    lib.adrec_add_rows.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64,
+        _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int32]
     lib.adrec_add_pair_strs.restype = None
     lib.adrec_add_pair_strs.argtypes = [
         ctypes.c_void_p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -432,6 +436,16 @@ class AdapterRecorder:
         buf = np.frombuffer(adapter_bytes, np.uint8)
         self._lib.adrec_add_one(self._h, buf, len(adapter_bytes),
                                 int(is_r2), count)
+
+    def add_rows(self, ba, rows, lo, hi, is_r2: bool):
+        n = len(rows)
+        if n == 0:
+            return
+        self._lib.adrec_add_rows(
+            self._h, np.ascontiguousarray(ba), ba.shape[1],
+            np.ascontiguousarray(rows, np.int64),
+            np.ascontiguousarray(lo, np.int64),
+            np.ascontiguousarray(hi, np.int64), n, int(is_r2))
 
     def add_pair_strs(self, a1: bytes, a2: bytes, count: int):
         b1 = np.frombuffer(a1, np.uint8) if a1 else np.zeros(1, np.uint8)

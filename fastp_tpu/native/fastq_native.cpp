@@ -253,8 +253,18 @@ void dup_hash(const uint8_t* b1, const int32_t* l1,
 // (reference: src/duplicate.cpp:154-167).  Overwrites is_dup so the LAST
 // buffer's verdict survives, matching the reference's loop quirk.
 void dup_apply(uint8_t* buf, const int64_t* pos, int64_t B, uint8_t* is_dup) {
-    for (int64_t b = 0; b < B; b++) {
-        int64_t p = pos[b];
+    // Probe in ADDRESS order, not record order: the bit positions scatter
+    // uniformly over a buffer of hundreds of MB, and the random walk pays
+    // a TLB miss (and on lazily-backed VMs, a page fault) per probe.
+    // Sorting (pos, idx) pairs (~2ms for 32k) makes the sweep sequential.
+    // Semantics are unchanged: distinct positions commute, and ties keep
+    // record order (idx tiebreak), so the first arrival still wins.
+    std::vector<std::pair<int64_t, int64_t>> order((size_t)B);
+    for (int64_t b = 0; b < B; b++) order[(size_t)b] = {pos[b], b};
+    std::sort(order.begin(), order.end());
+    for (int64_t k = 0; k < B; k++) {
+        int64_t p = order[(size_t)k].first;
+        int64_t b = order[(size_t)k].second;
         uint8_t bit = (uint8_t)(1u << (p & 7));
         uint8_t* cell = buf + (p >> 3);
         is_dup[b] = ((*cell & bit) != 0) ? 1 : 0;
@@ -697,6 +707,21 @@ void adrec_add_pairs(void* h, const uint8_t* ba1, int64_t W1,
         int64_t a2 = lo2[k], b2 = hi2[k];
         int64_t L2 = b2 > a2 ? b2 - a2 : 0;
         if (L2 > 0) adrec_add(r->m2, ba2 + row * W2 + a2, L2, 1);
+    }
+}
+
+// bulk single-side adds: row slices ba[rows[k], lo[k]:hi[k]] in order,
+// count 1 each, empty slices skipped (reference: filterresult.cpp:124-153
+// map part; counters vectorize in Python)
+void adrec_add_rows(void* h, const uint8_t* ba, int64_t W,
+                    const int64_t* rows, const int64_t* lo,
+                    const int64_t* hi, int64_t n, int32_t is_r2) {
+    AdRec* r = static_cast<AdRec*>(h);
+    AdRecMap& m = is_r2 ? r->m2 : r->m1;
+    for (int64_t k = 0; k < n; k++) {
+        int64_t a = lo[k], b = hi[k];
+        int64_t L = b > a ? b - a : 0;
+        if (L > 0) adrec_add(m, ba + rows[k] * W + a, L, 1);
     }
 }
 

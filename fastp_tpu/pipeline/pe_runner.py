@@ -366,7 +366,7 @@ class PairEndProcessor(BaseProcessor):
                     tfs = tfa[frows].astype(np.int64)
                     hcs = (hc[frows] if hc is not None
                            else np.zeros(frows.size, bool))
-                    entries = []
+                    entries = []  # explicit strings: (idx, str, count)
                     neg = ps < 0
                     negrows = np.flatnonzero(neg)
                     if negrows.size:  # adapter clipped at the read start
@@ -384,15 +384,34 @@ class PairEndProcessor(BaseProcessor):
                             j, slicer(int(frows[j]), int(ps[j]),
                                       int(pres[j])).decode("latin-1"), 1))
                     nrm = np.flatnonzero(~neg & ~hcs)
-                    if nrm.size:
-                        for p0, bb, c in group_slices(
-                                ba, frows[nrm], tfs[nrm] + ps[nrm],
-                                tfs[nrm] + pres[nrm]):
-                            entries.append((int(nrm[p0]),
-                                            bb.decode("latin-1"), c))
                     entries.sort(key=lambda t: t[0])
-                    for _, s, c in entries:
-                        fr.add_adapter_trimmed(s, is_r2, count=c)
+                    lo = tfs + ps
+                    hi = tfs + pres
+                    if fr._adrec is not None:
+                        # merged walk in row order: normal segments go to
+                        # the native recorder in bulk, explicit strings
+                        # (synthesized prefixes / corrected rows) one by
+                        # one; per-row in-order adds are exactly the
+                        # grouped replay (counts never change the cap's
+                        # key-set size)
+                        start = 0
+                        for idx, s, c in entries + [(len(found) + 1, "", 0)]:
+                            seg = nrm[(nrm >= start) & (nrm < idx)]
+                            if seg.size:
+                                fr.add_adapter_trimmed_rows_bulk(
+                                    ba, frows[seg], lo[seg], hi[seg], is_r2)
+                            if s:
+                                fr.add_adapter_trimmed(s, is_r2, count=c)
+                            start = idx
+                    else:
+                        if nrm.size:
+                            for p0, bb, c in group_slices(
+                                    ba, frows[nrm], lo[nrm], hi[nrm]):
+                                entries.append((int(nrm[p0]),
+                                                bb.decode("latin-1"), c))
+                        entries.sort(key=lambda t: t[0])
+                        for _, s, c in entries:
+                            fr.add_adapter_trimmed(s, is_r2, count=c)
 
             # --- overrepresentation sampling (pre) -------------------------
             if self.overrep_pre1.enabled:

@@ -710,14 +710,33 @@ class SingleEndProcessor(BaseProcessor):
                                         adapter_seq1[:alen + int(uniq[k])].decode(),
                                         int(counts[k])))
                 nrm = np.flatnonzero(~neg)
-                if nrm.size:
-                    for p0, bb, c in group_slices(
-                            bases, frows[nrm], tfs[nrm] + posts[nrm],
-                            tfs[nrm] + pres[nrm]):
-                        entries.append((int(nrm[p0]), bb.decode("latin-1"), c))
-                entries.sort(key=lambda t: t[0])
-                for _, s, c in entries:
-                    self.filter_result.add_adapter_trimmed(s, False, count=c)
+                lo = tfs + posts
+                hi = tfs + pres
+                fr = self.filter_result
+                if fr._adrec is not None:
+                    # normal rows stream to the native recorder in row
+                    # order, interleaved with the synthesized prefixes
+                    # (see pe_runner: in-order per-row adds == grouped
+                    # replay under the cap semantics)
+                    entries.sort(key=lambda t: t[0])
+                    start = 0
+                    for idx, s, c in entries + [(frows.size + 1, "", 0)]:
+                        seg = nrm[(nrm >= start) & (nrm < idx)]
+                        if seg.size:
+                            fr.add_adapter_trimmed_rows_bulk(
+                                bases, frows[seg], lo[seg], hi[seg], False)
+                        if s:
+                            fr.add_adapter_trimmed(s, False, count=c)
+                        start = idx
+                else:
+                    if nrm.size:
+                        for p0, bb, c in group_slices(
+                                bases, frows[nrm], lo[nrm], hi[nrm]):
+                            entries.append((int(nrm[p0]),
+                                            bb.decode("latin-1"), c))
+                    entries.sort(key=lambda t: t[0])
+                    for _, s, c in entries:
+                        fr.add_adapter_trimmed(s, False, count=c)
 
             # overrepresentation sampling (pre on original, post on emitted)
             if self.overrep_pre.enabled:

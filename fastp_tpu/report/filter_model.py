@@ -129,6 +129,23 @@ class FilterResult:
         self._adrec.add_pairs(ba1, lo1, hi1, ba2, lo2, hi2, rows)
         return True
 
+    def add_adapter_trimmed_rows_bulk(self, ba, rows, lo, hi, is_r2):
+        """Bulk single-side recording of ba[rows[k], lo:hi] in row order
+        (count 1 each, inc_trimmed_counter semantics).  Returns False
+        without the native recorder (caller replays through the dict
+        path)."""
+        if self._adrec is None:
+            return False
+        n = len(rows)
+        if n == 0:
+            return True
+        L = np.maximum(hi - lo, 0)
+        nz = int((L > 0).sum())
+        self.trimmed_adapter_reads += nz
+        self.trimmed_adapter_bases += int(L.sum())
+        self._adrec.add_rows(ba, rows, lo, hi, is_r2)
+        return True
+
     # -- exported views (materialized from the native recorder) -------------
     @property
     def adapter1(self):
