@@ -29,3 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # slow tier's wall time on this 1-core host).
 from fastp_tpu._jaxcache import ensure_compile_cache
 ensure_compile_cache()
+
+# The byte-parity tests invoke the CLI with /tmp/refbuild/testdata paths
+# because the recorded goldens embed those command strings.  /tmp does not
+# survive between sessions while the vendored fixtures in tests/testdata do
+# (byte-identical copies) -- materialize the expected layout on demand so
+# the golden tests never skip just because /tmp was wiped.
+_REFDATA = "/tmp/refbuild/testdata"
+if not os.path.exists(os.path.join(_REFDATA, "R1.fq")):
+    import shutil
+    os.makedirs(_REFDATA, exist_ok=True)
+    _here = os.path.dirname(os.path.abspath(__file__))
+    for _f in ("R1.fq", "R2.fq"):
+        shutil.copyfile(os.path.join(_here, "testdata", _f),
+                        os.path.join(_REFDATA, _f))
