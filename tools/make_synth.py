@@ -31,8 +31,9 @@ NOVA_BINS = np.array([2, 12, 23, 37], np.uint8)
 
 def make_quals(rng, n, read_len, mean_hi=36, degrade=8, bins=NOVA_BINS):
     pos = np.arange(read_len)
-    base_q = mean_hi - degrade * (pos / read_len) ** 2
-    q = base_q[None, :] + rng.normal(0, 3, (n, read_len))
+    base_q = (mean_hi - degrade * (pos / read_len) ** 2).astype(np.float32)
+    q = base_q[None, :] + 3.0 * rng.standard_normal((n, read_len),
+                                                    dtype=np.float32)
     q = np.clip(q, 2, 40).astype(np.uint8)
     if bins is not None:
         # snap to the nearest bin (RTA3-style quantization)
@@ -50,8 +51,7 @@ def _gen_chunk(rng, n, L, args):
                       rng.integers(L, 2 * L + 100, n)).astype(np.int32)
 
     # fragment for every pair, generated wide enough for the R1 window
-    maxw = L
-    frag = BASES[rng.integers(0, 4, (n, 2 * L + 100))]
+    frag = BASES[rng.integers(0, 4, (n, 2 * L + 100), dtype=np.uint8)]
     pos = np.arange(L)[None, :]
     in_ins = pos < insert[:, None]
 
@@ -65,7 +65,7 @@ def _gen_chunk(rng, n, L, args):
         ad_pad[:len(adapter)] = adapter
         idx = np.clip(pos - insert[:, None], 0, L)
         tail = ad_pad[idx]
-        fill = BASES[rng.integers(0, 4, (n, L))]
+        fill = BASES[rng.integers(0, 4, (n, L), dtype=np.uint8)]
         beyond_ad = (pos - insert[:, None]) >= len(adapter)
         return np.where(beyond_ad, fill, tail)
 
@@ -81,14 +81,17 @@ def _gen_chunk(rng, n, L, args):
     q1 = make_quals(rng, n, L, bins=bins)
     q2 = make_quals(rng, n, L, mean_hi=34, degrade=10, bins=bins)
 
-    # sequencing errors where quality is low
+    # sequencing errors where quality is low (per-qual error prob via LUT)
+    perr = np.zeros(256, np.float32)
+    qv = np.arange(256, dtype=np.float32)
+    perr[:] = 10.0 ** (-(qv - 33) / 10)
     for r, q in ((r1, q1), (r2, q2)):
-        err = rng.random((n, L)) < 10.0 ** (-(q.astype(np.float32) - 33) / 10)
-        r[err] = BASES[rng.integers(0, 4, int(err.sum()))]
+        err = rng.random((n, L), dtype=np.float32) < perr[q]
+        r[err] = BASES[rng.integers(0, 4, int(err.sum()), dtype=np.uint8)]
 
     # Ns
     for r, q in ((r1, q1), (r2, q2)):
-        nm = rng.random((n, L)) < args.n_rate
+        nm = rng.random((n, L), dtype=np.float32) < args.n_rate
         r[nm] = ord("N")
         q[nm] = 33 + 2
 
@@ -110,17 +113,28 @@ def _gen_chunk(rng, n, L, args):
     return r1, r2, q1, q2
 
 
-def _emit(fh, names, reads, quals, tag):
-    parts = []
-    n = len(names)
-    for i in range(n):
-        parts.append(names[i])
-        parts.append(tag)
-        parts.append(reads[i].tobytes())
-        parts.append(b"\n+\n")
-        parts.append(quals[i].tobytes())
-        parts.append(b"\n")
-    fh.write(b"".join(parts))
+def _emit_fixed(fh, prefix, start, reads, quals, tag):
+    """Vectorized emit: every record is fixed-width (zero-padded x:y name
+    coordinates), so the whole chunk serializes as one [m, W] u8 matrix."""
+    m, L = reads.shape
+    i = np.arange(start, start + m, dtype=np.int64)
+    x = 10000 + i % 30000
+    y = 10000 + i // 30000
+    head_w = len(prefix) + 5 + 1 + 5 + len(tag)
+    W = head_w + L + 3 + L + 1
+    rec = np.empty((m, W), np.uint8)
+    rec[:, :len(prefix)] = np.frombuffer(prefix, np.uint8)
+    c = len(prefix)
+    for d in range(5):
+        rec[:, c + d] = 48 + (x // 10 ** (4 - d)) % 10
+        rec[:, c + 6 + d] = 48 + (y // 10 ** (4 - d)) % 10
+    rec[:, c + 5] = ord(":")
+    rec[:, c + 11:head_w] = np.frombuffer(tag, np.uint8)
+    rec[:, head_w:head_w + L] = reads
+    rec[:, head_w + L:head_w + L + 3] = np.frombuffer(b"\n+\n", np.uint8)
+    rec[:, head_w + L + 3:W - 1] = quals
+    rec[:, -1] = ord("\n")
+    fh.write(rec.tobytes())
 
 
 def main():
@@ -152,15 +166,13 @@ def main():
     prefix = b"@A00123:45:HXXYZDSXX:1:1101" if args.novaseq_names \
         else b"@SIM001:1:FC:1:1101"
 
+    prefix = prefix + b":"
     done = 0
     while done < n:
         m = min(CHUNK, n - done)
         r1, r2, q1, q2 = _gen_chunk(rng, m, L, args)
-        names = [b"%s:%d:%d" % (prefix, 1000 + (done + i) % 30000,
-                                1000 + (done + i) // 30000)
-                 for i in range(m)]
-        _emit(o1, names, r1, q1, b" 1:N:0:ATCACGTT+GGTTCACC\n")
-        _emit(o2, names, r2, q2, b" 2:N:0:ATCACGTT+GGTTCACC\n")
+        _emit_fixed(o1, prefix, done, r1, q1, b" 1:N:0:ATCACGTT+GGTTCACC\n")
+        _emit_fixed(o2, prefix, done, r2, q2, b" 2:N:0:ATCACGTT+GGTTCACC\n")
         done += m
     o1.close()
     o2.close()
