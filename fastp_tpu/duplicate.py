@@ -18,6 +18,8 @@ and first-wins semantics use stable sorts per batch.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .config import Options
@@ -34,57 +36,79 @@ _BASE_CODE_F = _BASE_CODE.astype(np.float64)
 
 import threading
 
-# Bloom-buffer pool for resident-server processes: faulting in ~1 GB of
-# fresh zero pages costs ~0.4 s on every job's first batches; recycled
-# buffers are re-zeroed off the critical path when the filter is released.
+# Bloom-buffer pool for resident-server processes: committing ~1 GB of
+# fresh zero pages costs 6-13 s of write faults on this virtualized host
+# (22-57 us/page, volatile); recycled buffers are re-zeroed off the
+# critical path when the filter is released and stay page-committed.
 # Only ONE size class is retained (the most recent) so a server cycling
 # through accuracy levels doesn't accumulate every configuration's peak.
+# `_buf_pending` counts buffers being re-zeroed in the background so a
+# back-to-back job WAITS for the in-flight re-zero (<1 s memset) instead
+# of allocating — and pre-faulting — a fresh buffer every run.
 _buf_pool = {}
 _buf_pool_lock = threading.Lock()
+_buf_pool_cv = threading.Condition(_buf_pool_lock)
+_buf_pending = {}  # size -> count being re-zeroed
 _BUF_POOL_MAX = 3  # buffers kept per size (accuracy 6 uses 3)
 
 
-def _madv_huge(b: np.ndarray) -> np.ndarray:
-    """MADV_HUGEPAGE (14) the filter buffer.  Free when THP is granted
-    (2MB faults instead of 4KB, plus fewer TLB misses on the random
-    probes); a no-op where the hypervisor never assembles huge pages
-    (AnonHugePages stays 0 on this host).  Deliberately NOT an eager
-    b[:]=0 commit: on virtualized hosts with 60-450us write faults,
-    committing 768MB up-front costs 90-180s PER PROCESS, while lazy
-    np.zeros pages fault only where a bit is actually set and unwritten
-    pages read through the shared zero page for free."""
-    try:
-        import ctypes
-        libc = ctypes.CDLL(None, use_errno=True)
-        addr = b.ctypes.data
-        a0 = (addr + 4095) & ~4095
-        ln = b.nbytes - (a0 - addr)
-        if ln > 0:
-            libc.madvise(ctypes.c_void_p(a0), ctypes.c_size_t(ln), 14)
-    except Exception:
-        pass
+def _prefault(b: np.ndarray) -> np.ndarray:
+    """Commit every page up front (one write per 4KB) in server mode.
+
+    The probe pattern is a uniform random walk over hundreds of MB; on
+    this virtualized host a first-touch write fault costs ~23us, so a
+    fresh lazily-backed buffer pays ~6s of faults spread across the first
+    batches of a big run (measured: 1.07s/32k-pair batch fresh vs 0.08s
+    pre-faulted).  In a resident server the commit runs once — during the
+    pre-READY warm job — and pooled buffers (re-zeroed in place on
+    release) never pay it again.  Gated to server mode because small
+    one-shot jobs (tests, tiny inputs) probe only a few thousand pages:
+    lazy faulting costs them ~50ms where an eager commit would cost
+    seconds.  MADV_HUGEPAGE was tried and removed: with defrag=madvise
+    the kernel attempts direct compaction on every fault and never
+    assembles a huge page on this hypervisor (AnonHugePages stays 0),
+    making faults 75% slower."""
+    if os.environ.get("FASTP_TPU_POOL_PREFAULT"):
+        b[::4096] = 0
     return b
 
 
 def _acquire_buf(n_bytes: int) -> np.ndarray:
-    with _buf_pool_lock:
-        lst = _buf_pool.get(n_bytes)
-        if lst:
-            return lst.pop()
-    return _madv_huge(np.zeros(n_bytes, np.uint8))
+    with _buf_pool_cv:
+        while True:
+            lst = _buf_pool.get(n_bytes)
+            if lst:
+                return lst.pop()
+            if not _buf_pending.get(n_bytes):
+                break  # nothing in flight: allocate fresh
+            # a matching buffer is being re-zeroed (~0.3s/GB memset);
+            # waiting beats a fresh 6-13s pre-fault
+            if not _buf_pool_cv.wait(timeout=30.0):
+                break
+    return _prefault(np.zeros(n_bytes, np.uint8))
 
 
 def _release_bufs(bufs) -> None:
-    def rezero():
+    keep = []
+    with _buf_pool_cv:
         for b in bufs:
+            lst = _buf_pool.get(b.nbytes, [])
+            if len(lst) + _buf_pending.get(b.nbytes, 0) < _BUF_POOL_MAX:
+                _buf_pending[b.nbytes] = _buf_pending.get(b.nbytes, 0) + 1
+                keep.append(b)
+    if not keep:
+        return
+
+    def rezero():
+        for b in keep:
             b[:] = 0
-            with _buf_pool_lock:
+            with _buf_pool_cv:
                 for size in list(_buf_pool):
                     if size != b.nbytes:
                         del _buf_pool[size]
-                lst = _buf_pool.setdefault(b.nbytes, [])
-                if len(lst) < _BUF_POOL_MAX:
-                    lst.append(b)
+                _buf_pool.setdefault(b.nbytes, []).append(b)
+                _buf_pending[b.nbytes] -= 1
+                _buf_pool_cv.notify_all()
 
     threading.Thread(target=rezero, daemon=True).start()
 

@@ -123,6 +123,11 @@ def _make_inflater():
 class FastqReader:
     """Streaming FASTQ line reader with reference-compatible semantics."""
 
+    # class-level defaults so hand-built instances (selftest) stay valid
+    # when shard-range state is added
+    _records_left = None
+    _skip_lines = 0
+
     def __init__(self, filename: str, phred64: bool = False,
                  byte_range: Optional[Tuple[int, int]] = None,
                  record_range: Optional[Tuple[int, Optional[int]]] = None):

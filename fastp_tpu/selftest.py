@@ -69,6 +69,8 @@ def run_self_tests() -> bool:
     rd._stopped = False
     rd.bytes_read = 0
     rd._budget = None
+    rd._skip_lines = 0
+    rd._records_left = None
     r1 = rd.read()
     r2 = rd.read()
     r3 = rd.read()

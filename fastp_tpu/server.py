@@ -124,6 +124,10 @@ def _run_job(argv, cwd, conn) -> int:
 
 
 def serve(sock_path: str, warm: bool = False, warm_run=None) -> int:
+    # resident process: dup Bloom buffers are pooled across jobs, so pay
+    # the full page-commit once (ideally pre-READY via the warm run)
+    # instead of 6-13s of lazy write faults inside every job's batches
+    os.environ.setdefault("FASTP_TPU_POOL_PREFAULT", "1")
     try:
         os.unlink(sock_path)
     except OSError:
