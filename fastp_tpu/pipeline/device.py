@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .._jaxcache import ensure_compile_cache
 ensure_compile_cache()
@@ -460,6 +461,68 @@ def _extra_i8_keys(cfg: DeviceCfg):
     return ()
 
 
+def aux_arg_names(cfg: DeviceCfg):
+    """Trailing per-batch aux args, statically derived from cfg.
+
+    Masks that are dead by configuration (UMI pre-trims, index-filter
+    drops, dedup verdicts) are synthesized as zeros at trace time instead
+    of riding the H2D tunnel; the [B] valid mask is always a contiguous
+    prefix (padding is a suffix by construction in _pad_batch /
+    pad_to_multiple), so a scalar count replaces it."""
+    names = []
+    if cfg.has_pretrim:
+        names += ["pre_trim1", "pre_trim2"] if cfg.paired else ["pre_trim"]
+    if cfg.has_index_drop:
+        names.append("index_drop")
+    if cfg.has_dedup:
+        names.append("dedup_out")
+    names.append("nvalid")
+    return tuple(names)
+
+
+def _expand_aux(cfg: DeviceCfg, B: int, aux):
+    """Trace-side: reconstruct (pre1, pre2, idx, ded, valid) from aux."""
+    d = dict(zip(aux_arg_names(cfg), aux))
+    z32 = jnp.zeros((B,), jnp.int32)
+    zb = jnp.zeros((B,), bool)
+    pre1 = d.get("pre_trim1", d.get("pre_trim", z32))
+    pre1 = pre1.astype(jnp.int32)
+    pre2 = d.get("pre_trim2", z32)
+    pre2 = pre2.astype(jnp.int32)
+    idx = d.get("index_drop", zb)
+    ded = d.get("dedup_out", zb)
+    valid = jnp.arange(B, dtype=jnp.int32) < jnp.asarray(d["nvalid"],
+                                                         jnp.int32)
+    return pre1, pre2, idx, ded, valid
+
+
+def make_aux(cfg: DeviceCfg, valid_or_n, pre_trim1=None, pre_trim2=None,
+             index_drop=None, dedup_out=None):
+    """Host-side twin of _expand_aux: build the numpy aux tuple.
+
+    valid_or_n: the [B] valid mask (contiguous-prefix) or an int count.
+    Pre-trims ship as int16 (UMI splices are short; halves the bytes)."""
+    out = []
+    if cfg.has_pretrim:
+        out.append(np.asarray(pre_trim1, np.int16))
+        if cfg.paired:
+            out.append(np.asarray(pre_trim2, np.int16))
+    if cfg.has_index_drop:
+        out.append(index_drop)
+    if cfg.has_dedup:
+        out.append(dedup_out)
+    n = (valid_or_n if isinstance(valid_or_n, (int, np.integer))
+         else int(valid_or_n.sum()))
+    out.append(np.int32(n))
+    return tuple(out)
+
+
+def length_dtype(width: int):
+    """H2D dtype for per-read lengths: int16 halves the bytes whenever a
+    row fits (width is static per compiled step, so the choice is too)."""
+    return np.int16 if width <= 32000 else np.int32
+
+
 def _finalize_step(inner, layout, accum, n_args: int):
     """Close a step builder over the accumulate mode.
 
@@ -547,22 +610,27 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
         return pack_for_host(_slim_outputs(out, B, L, extra_i8),
                              B, layout, mega, L, acc_on)
 
+    n_aux = len(aux_arg_names(cfg))
     if packed == "nib":
-        def nib_step(p, qlut, ei, eb, eq, lengths, pre_trim, index_drop,
-                     dedup_out, valid):
+        def nib_step(p, qlut, ei, eb, eq, lengths, *aux):
+            lengths = lengths.astype(jnp.int32)
             bases, quals = _unpack_nib(p, qlut, lengths, ei, eb, eq)
-            return se_step(bases, quals, lengths, pre_trim, index_drop,
-                           dedup_out, valid)
-        inner, n_args = nib_step, 10
+            pre, _, idx, ded, valid = _expand_aux(cfg, p.shape[0], aux)
+            return se_step(bases, quals, lengths, pre, idx, ded, valid)
+        inner, n_args = nib_step, 6 + n_aux
     elif packed:
-        def packed_step(p, ei, eb, eq, lengths, pre_trim, index_drop,
-                        dedup_out, valid):
+        def packed_step(p, ei, eb, eq, lengths, *aux):
+            lengths = lengths.astype(jnp.int32)
             bases, quals = _unpack_bq(p, ei, eb, eq)
-            return se_step(bases, quals, lengths, pre_trim, index_drop,
-                           dedup_out, valid)
-        inner, n_args = packed_step, 9
+            pre, _, idx, ded, valid = _expand_aux(cfg, p.shape[0], aux)
+            return se_step(bases, quals, lengths, pre, idx, ded, valid)
+        inner, n_args = packed_step, 5 + n_aux
     else:
-        inner, n_args = se_step, 7
+        def plain_step(bases, quals, lengths, *aux):
+            lengths = lengths.astype(jnp.int32)
+            pre, _, idx, ded, valid = _expand_aux(cfg, bases.shape[0], aux)
+            return se_step(bases, quals, lengths, pre, idx, ded, valid)
+        inner, n_args = plain_step, 3 + n_aux
     return _finalize_step(inner, layout, accum, n_args)
 
 
@@ -817,22 +885,34 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
         return pack_for_host(_slim_outputs(out, B, L, extra_i8),
                              B, layout, mega, L, acc_on)
 
+    n_aux = len(aux_arg_names(cfg))
     if packed == "nib":
         def nib_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, qlut, l1, l2,
-                     pre_trim1, pre_trim2, index_drop, dedup_out, valid):
+                     *aux):
+            l1 = l1.astype(jnp.int32)
+            l2 = l2.astype(jnp.int32)
             b1, q1 = _unpack_nib(p1, qlut, l1, e1i, e1b, e1q)
             b2, q2 = _unpack_nib(p2, qlut, l2, e2i, e2b, e2q)
-            return pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
-                           index_drop, dedup_out, valid)
-        inner, n_args = nib_step, 16
+            pre1, pre2, idx, ded, valid = _expand_aux(cfg, p1.shape[0], aux)
+            return pe_step(b1, q1, l1, b2, q2, l2, pre1, pre2,
+                           idx, ded, valid)
+        inner, n_args = nib_step, 11 + n_aux
     elif packed:
-        def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2,
-                        pre_trim1, pre_trim2, index_drop, dedup_out, valid):
+        def packed_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1, l2, *aux):
+            l1 = l1.astype(jnp.int32)
+            l2 = l2.astype(jnp.int32)
             b1, q1 = _unpack_bq(p1, e1i, e1b, e1q)
             b2, q2 = _unpack_bq(p2, e2i, e2b, e2q)
-            return pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2,
-                           index_drop, dedup_out, valid)
-        inner, n_args = packed_step, 15
+            pre1, pre2, idx, ded, valid = _expand_aux(cfg, p1.shape[0], aux)
+            return pe_step(b1, q1, l1, b2, q2, l2, pre1, pre2,
+                           idx, ded, valid)
+        inner, n_args = packed_step, 10 + n_aux
     else:
-        inner, n_args = pe_step, 11
+        def plain_step(b1, q1, l1, b2, q2, l2, *aux):
+            l1 = l1.astype(jnp.int32)
+            l2 = l2.astype(jnp.int32)
+            pre1, pre2, idx, ded, valid = _expand_aux(cfg, b1.shape[0], aux)
+            return pe_step(b1, q1, l1, b2, q2, l2, pre1, pre2,
+                           idx, ded, valid)
+        inner, n_args = plain_step, 6 + n_aux
     return _finalize_step(inner, layout, accum, n_args)

@@ -671,7 +671,12 @@ class PairEndProcessor(BaseProcessor):
     def _dispatch_pe(self, b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p,
                      idxp, dedp, valid):
         """Returns (device outputs, layout dict of the step that ran)."""
+        from .device import make_aux, length_dtype
         W = b1p.shape[1]
+        ldt = length_dtype(W)
+        l1p = l1p.astype(ldt)
+        l2p = l2p.astype(ldt)
+        aux = make_aux(self.cfg, valid, pt1p, pt2p, idxp, dedp)
         nib1 = self._try_pack_nib(b1p, q1p)
         nib2 = self._try_pack_nib(b2p, q2p) if nib1 is not None else None
         if nib1 is not None and nib2 is not None:
@@ -687,8 +692,7 @@ class PairEndProcessor(BaseProcessor):
                 lambda: build_pe_step(self.cfg, packed="nib",
                                       mega=self._mega, accum="spec"),
                 W, (p1, e1i, e1b, e1q, p2, e2i, e2b, e2q,
-                    self._qdict.copy(), l1p, l2p, pt1p, pt2p,
-                    idxp, dedp, valid))
+                    self._qdict.copy(), l1p, l2p) + aux)
             return out, self._nib_layout
         pk1 = self._try_pack_inputs(b1p, q1p)
         pk2 = self._try_pack_inputs(b2p, q2p) if pk1 is not None else None
@@ -697,8 +701,7 @@ class PairEndProcessor(BaseProcessor):
                 self.step,
                 lambda: build_pe_step(self.cfg, mega=self._mega,
                                       accum="spec"),
-                W, (b1p, q1p, l1p, b2p, q2p, l2p, pt1p, pt2p, idxp,
-                    dedp, valid))
+                W, (b1p, q1p, l1p, b2p, q2p, l2p) + aux)
             return out, self._plain_layout
         if self._packed_step is None:
             inner = build_pe_step(self.cfg, packed=True, mega=self._mega,
@@ -711,8 +714,7 @@ class PairEndProcessor(BaseProcessor):
             self._packed_step,
             lambda: build_pe_step(self.cfg, packed=True, mega=self._mega,
                                   accum="spec"),
-            W, (p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1p, l2p, pt1p,
-                pt2p, idxp, dedp, valid))
+            W, (p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, l1p, l2p) + aux)
         return out, self._packed_layout
 
     def _stat_post1_read(self, seq: bytes, qual: bytes):

@@ -265,7 +265,7 @@ class BaseProcessor:
             ent = st[width] = [acc, None, 0]
         out, ent[0] = step(*args, ent[0])
         if ent[1] is None:
-            B = args[-1].shape[0]  # the valid mask is batch-length
+            B = args[0].shape[0]  # batch-major leading arg
             ent[1] = step.layout.get(("shape", B, width)) or dict(step.layout)
         return out
 
@@ -371,8 +371,10 @@ class BaseProcessor:
         tools/measure_tunnel.py); result order is preserved by the
         per-batch futures."""
         if not hasattr(self, "_fetch_exec"):
+            import os as _os
             from concurrent.futures import ThreadPoolExecutor
-            self._fetch_exec = ThreadPoolExecutor(max_workers=2)
+            nw = int(_os.environ.get("FASTP_TPU_FETCH_WORKERS", "2"))
+            self._fetch_exec = ThreadPoolExecutor(max_workers=max(1, nw))
         return self._fetch_exec
 
     def _upload_pool(self):
@@ -541,7 +543,11 @@ class SingleEndProcessor(BaseProcessor):
     def _dispatch(self, bases_p, quals_p, lengths_p, pre_trim_p,
                   index_drop_p, dedup_p, valid):
         """Returns (device outputs, layout dict of the step that ran)."""
+        from .device import make_aux, length_dtype
         W = bases_p.shape[1]
+        lengths_p = lengths_p.astype(length_dtype(W))
+        aux = make_aux(self.cfg, valid, pre_trim_p, None,
+                       index_drop_p, dedup_p)
         nib = self._try_pack_nib(bases_p, quals_p)
         if nib is not None:
             if self._nib_step is None:
@@ -554,8 +560,7 @@ class SingleEndProcessor(BaseProcessor):
                 self._nib_step,
                 lambda: build_se_step(self.cfg, packed="nib",
                                       mega=self._mega, accum="spec"),
-                W, (p, self._qdict.copy(), ei, eb, eq, lengths_p,
-                    pre_trim_p, index_drop_p, dedup_p, valid))
+                W, (p, self._qdict.copy(), ei, eb, eq, lengths_p) + aux)
             return out, self._nib_layout
         pk = self._try_pack_inputs(bases_p, quals_p)
         if pk is None:
@@ -563,8 +568,7 @@ class SingleEndProcessor(BaseProcessor):
                 self.step,
                 lambda: build_se_step(self.cfg, mega=self._mega,
                                       accum="spec"),
-                W, (bases_p, quals_p, lengths_p, pre_trim_p,
-                    index_drop_p, dedup_p, valid))
+                W, (bases_p, quals_p, lengths_p) + aux)
             return out, self._plain_layout
         if self._packed_step is None:
             inner = build_se_step(self.cfg, packed=True, mega=self._mega,
@@ -576,8 +580,7 @@ class SingleEndProcessor(BaseProcessor):
             self._packed_step,
             lambda: build_se_step(self.cfg, packed=True, mega=self._mega,
                                   accum="spec"),
-            W, (p, ei, eb, eq, lengths_p, pre_trim_p, index_drop_p,
-                dedup_p, valid))
+            W, (p, ei, eb, eq, lengths_p) + aux)
         return out, self._packed_layout
 
     def process(self) -> Dict:

@@ -66,6 +66,15 @@ class DeviceCfg:
     merge_include_unmerged: bool
     # misc
     overlapped_out: bool
+    # per-batch aux-arg presence (statically known per run): when a mask
+    # is dead by configuration — no UMI pre-trims, no index filter, no
+    # --dedup — the step synthesizes zeros at trace time and the [B]
+    # array never rides the H2D tunnel (~450KB/32k-pair batch combined
+    # with the scalar-nvalid and int16-length slimming).  Default True =
+    # full signature (external constructors keep the general case).
+    has_pretrim: bool = True
+    has_index_drop: bool = True
+    has_dedup: bool = True
     # lean D2H: per-read result codes reduce to a device-side histogram and
     # routing-only flags (alive/emit_pair) drop from the transfer.  Legal
     # only when no consumer needs per-read codes: the native routed path is
@@ -135,5 +144,8 @@ def device_cfg_from_options(opt: Options) -> DeviceCfg:
         merge_enabled=opt.merge.enabled,
         merge_include_unmerged=opt.merge.includeUnmerged,
         overlapped_out=bool(opt.overlappedOut),
+        has_pretrim=opt.umi.enabled,
+        has_index_drop=opt.indexFilter.enabled,
+        has_dedup=opt.duplicate.dedup,
         lean=_lean_ok(opt),
     )

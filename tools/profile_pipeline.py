@@ -71,16 +71,12 @@ def main():
         B = batch1.n
         total_reads += 2 * B
         width = batch1.width
-        if pre_trim is None or len(pre_trim) != B:
-            pre_trim = np.zeros(B, np.int32)
-            index_drop = np.zeros(B, bool)
-            dedup = np.zeros(B, bool)
-            valid = np.ones(B, bool)
-
         t0 = time.time()
+        # plain-step signature: (b1, q1, l1, b2, q2, l2, *aux); this cfg
+        # has no UMI/index/dedup so aux is the scalar valid count
         out = step(batch1.bases, batch1.quals, batch1.lengths,
                    batch2.bases, batch2.quals, batch2.lengths,
-                   pre_trim, pre_trim, index_drop, dedup, valid)
+                   np.int32(B))
         out = unpack_from_host(jax.device_get(out), step.layout)
         t["step"] += time.time() - t0
 
