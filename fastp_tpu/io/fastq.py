@@ -59,6 +59,13 @@ class _ZlibInflater:
     def finish(self) -> bytes:
         return self._d.flush()
 
+    # bytearray-appending twins (ArrayFastqReader's in-place pending)
+    def feed_into(self, raw: bytes, dest: bytearray) -> None:
+        dest += self.feed(raw)
+
+    def finish_into(self, dest: bytearray) -> None:
+        dest += self.finish()
+
 
 class _NativeGzInflater:
     """Throughput-grade gzip input: whole members inflate through
@@ -70,39 +77,54 @@ class _NativeGzInflater:
     def __init__(self, lib):
         self._lib = lib
         self._h = lib.gz_reader_create()
-        self._pend = b""
+        self._pend = bytearray()
+        # ONE reusable inflate buffer: a fresh multi-MB numpy alloc per
+        # feed costs a first-touch page-fault storm on this host (30-65us
+        # per 4KB fault) that used to dominate the gz path's CPU
+        self._out = np.empty(1 << 23, np.uint8)
+        self._consumed = np.zeros(1, np.int64)
 
-    def _drive(self, final: bool) -> bytes:
-        parts = []
+    def _drive_into(self, final: bool, dest: bytearray) -> None:
         while True:
             n_in = len(self._pend)
             if n_in == 0 and not final:
-                break
+                return
+            if self._out.size < 4 * n_in:
+                self._out = np.empty(max(4 * n_in, 2 * self._out.size),
+                                     np.uint8)
+            cap = self._out.size
             buf = np.frombuffer(self._pend if n_in else b"\0", np.uint8)
-            cap = max(4 * n_in, 1 << 22)
-            out = np.empty(cap, np.uint8)
-            consumed = np.zeros(1, np.int64)
             n = self._lib.gz_reader_inflate(self._h, buf, n_in, int(final),
-                                            out, cap, consumed)
+                                            self._out, cap, self._consumed)
+            buf = None  # release the bytearray export before resizing it
             if n == -2:
-                break  # buffer ends inside a member: feed more bytes
+                return  # buffer ends inside a member: feed more bytes
             if n < 0:
                 raise OSError("corrupt gzip stream")
-            c = int(consumed[0])
+            c = int(self._consumed[0])
             if c:
-                self._pend = self._pend[c:]
+                del self._pend[:c]
             if n > 0:
-                parts.append(out[:n].tobytes())
+                dest += memoryview(self._out[:n])  # single in-place append
             if (n == 0 and c == 0) or (n < cap and not self._pend):
-                break
-        return b"".join(parts)
+                return
+
+    def feed_into(self, raw: bytes, dest: bytearray) -> None:
+        self._pend += raw
+        self._drive_into(False, dest)
+
+    def finish_into(self, dest: bytearray) -> None:
+        self._drive_into(True, dest)
 
     def feed(self, raw: bytes) -> bytes:
-        self._pend += raw
-        return self._drive(False)
+        ba = bytearray()
+        self.feed_into(raw, ba)
+        return bytes(ba)
 
     def finish(self) -> bytes:
-        return self._drive(True)
+        ba = bytearray()
+        self.finish_into(ba)
+        return bytes(ba)
 
     def __del__(self):
         h, self._h = getattr(self, "_h", None), None
@@ -455,7 +477,11 @@ class ArrayFastqReader:
         self.phred64 = phred64
         self._fh, self._zipped = _open_stream(filename)
         self._inf = _make_inflater() if self._zipped else None
-        self._pending = b""
+        # bytearray: += appends in place (amortized), where immutable
+        # bytes re-copied the whole pending buffer per append.  Rebound
+        # (never resized) after tokenize so live batch chunk views stay
+        # pinned to the old object.
+        self._pending = bytearray()
         self._eof = False
         self._stopped = False
         self.bytes_read = 0
@@ -508,6 +534,7 @@ class ArrayFastqReader:
                 continue
             buf = np.frombuffer(self._pending, np.uint8)
             nl = np.flatnonzero(buf == 10)
+            buf = None  # release the export before slicing/appending
             if len(nl) >= self._skip_lines:
                 self._pending = self._pending[int(nl[self._skip_lines - 1]) + 1:]
                 self._skip_lines = 0
@@ -515,7 +542,7 @@ class ArrayFastqReader:
                 self._pending = self._pending[int(nl[-1]) + 1:]
                 self._skip_lines -= len(nl)
             elif self._eof:
-                self._pending = b""
+                self._pending = bytearray()
                 self._skip_lines = 0
             else:
                 self._read_more()
@@ -533,14 +560,15 @@ class ArrayFastqReader:
         if self._budget is not None:
             self._budget -= len(raw)
         if not raw:
-            data = self._inf.finish() if self._zipped else b""
             self._eof = True
-            if data:
-                self._pending += data
+            if self._zipped:
+                self._inf.finish_into(self._pending)
             return
         self.bytes_read += len(raw)
-        data = self._inf.feed(raw) if self._zipped else raw
-        self._pending = data if not self._pending else self._pending + data
+        if self._zipped:
+            self._inf.feed_into(raw, self._pending)
+        else:
+            self._pending += raw
 
     def _read_batch_mmap(self, n: int, width: int) -> Optional[ArrayBatch]:
         """Tokenize directly out of the mapped file: no read() copy, no
@@ -603,12 +631,14 @@ class ArrayFastqReader:
                                    lengths[:cnt], chunk=buf,
                                    name_off=noff[:cnt], name_len=nlen[:cnt],
                                    strand_off=soff[:cnt], strand_len=slen[:cnt])
+                # REBIND (don't resize): buf/chunk pin the old bytearray
                 self._pending = self._pending[consumed:]
                 self._est = max(64, consumed // cnt + 16)
                 if self._records_left is not None:
                     self._records_left -= cnt
                 return batch
             # buffer held fewer than n complete records: read more and retry
+            buf = None  # release the export so _read_more may append
             self._est = max(self._est + 64, int(self._est * 1.5))
 
     def close(self):
