@@ -49,7 +49,7 @@ ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
         "-I", os.path.join(BENCH_DIR, "R2.fq"),
         "-o", "out1.fq", "-O", "out2.fq"] + FLAGS
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 BUDGET = float(os.environ.get("BENCH_BUDGET", "1500"))
 T0 = time.time()
 
@@ -159,11 +159,16 @@ def ensure_corpus():
         with open(vfile, "w") as f:
             f.write(CORPUS_VERSION)
     w1 = os.path.join(BENCH_DIR, "warm_R1.fq")
-    if not (ver_ok and os.path.exists(w1)):
-        # small same-shape corpus for the server's pre-READY warm run
+    # 8 batches at 32k pairs: enough to reach the run-time allocation
+    # high-water mark (route/serialize workspaces, dup Bloom commit, glibc
+    # arena growth) so the FIRST timed run matches steady state -- a 2-batch
+    # warm run left ~20s of first-touch faults in run 0 (measured r4)
+    n_warm = 262144
+    if not (ver_ok and os.path.exists(w1)
+            and n_warm * 250 < os.path.getsize(w1) < n_warm * 450):
         subprocess.run([sys.executable,
                         os.path.join(ROOT, "tools", "make_synth.py"),
-                        "--reads", "65536", "--seed", "7",
+                        "--reads", str(n_warm), "--seed", "7",
                         "--out1", w1,
                         "--out2", os.path.join(BENCH_DIR, "warm_R2.fq")],
                        check=True, timeout=max(60, remaining() - 60))
