@@ -3,13 +3,15 @@ import os
 # Run tests on a virtual 8-device CPU mesh; never touch real TPU from tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-# the axon sitecustomize registers the TPU plugin (and wins over
-# JAX_PLATFORMS) whenever PALLAS_AXON_POOL_IPS is set -- clear it.
-# NOTE: on an axon host this in-process clear can be TOO LATE (the
-# sitecustomize latches state at interpreter startup); when the TPU
-# tunnel is down the first in-process jit then hangs ~30min in the axon
-# claim loop.  Run the suite with the env cleared AT EXEC:
-#   JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
+# the axon sitecustomize imports jax and registers the TPU plugin at
+# INTERPRETER STARTUP whenever PALLAS_AXON_POOL_IPS is set, so jax has
+# already latched the startup JAX_PLATFORMS before this file runs and
+# the env assignment above is too late.  In-process jit then runs on the
+# tunneled TPU and pays its program-load/claim lottery randomly per test
+# (measured: the same 2s test taking 74-649s with near-zero CPU).  The
+# LIVE config update below de-latches it — jax.config wins over the
+# stale env snapshot as long as no backend has been initialized yet,
+# which is guaranteed here because conftest imports precede collection.
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 # CLI subprocess tests default to ONE device: mesh byte-parity has its own
 # dedicated tests (test_multidevice passes --devices explicitly), and an
@@ -21,6 +23,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import sys
+
+if "jax" in sys.modules:  # sitecustomize pre-imported jax: de-latch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent XLA compile cache for tests that import ops directly (the
