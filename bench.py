@@ -80,6 +80,33 @@ SNAP = {
 _children = []  # live Popen objects the watchdog must reap
 
 
+def _run(cmd, **kw):
+    """subprocess.run equivalent that registers the child in _children so
+    the watchdog's emit_and_exit can SIGKILL an in-flight client instead of
+    orphaning it past the bench's own exit."""
+    timeout = kw.pop("timeout", None)
+    check = kw.pop("check", False)
+    if kw.pop("capture_output", False):
+        kw["stdout"] = subprocess.PIPE
+        kw["stderr"] = subprocess.PIPE
+    p = subprocess.Popen(cmd, **kw)
+    _children.append(p)
+    try:
+        out, err = p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.wait()
+        raise
+    finally:
+        try:
+            _children.remove(p)
+        except ValueError:
+            pass
+    if check and p.returncode != 0:
+        raise subprocess.CalledProcessError(p.returncode, cmd, out, err)
+    return subprocess.CompletedProcess(cmd, p.returncode, out, err)
+
+
 def _median(xs):
     xs = sorted(xs)
     n = len(xs)
@@ -87,12 +114,17 @@ def _median(xs):
 
 
 def emit_and_exit(code=0):
-    """Print the ONE result line from current snapshot state and exit."""
+    """Print the ONE result line from current snapshot state and exit.
+
+    The whole emission happens INSIDE the lock: a losing caller blocks
+    until the winner's write+flush is complete, so its os._exit can never
+    truncate the result line (the old release-then-write window could)."""
     global _emitted
-    with _emit_lock:
-        if _emitted:
-            os._exit(code)
-        _emitted = True
+    _emit_lock.acquire()
+    if _emitted:
+        _emit_lock.release()
+        os._exit(code)
+    _emitted = True
     runs = list(SNAP["runs"])
     baseline = SNAP["baseline"]
     ours = 2 * N_PAIRS / _median(runs) if runs else 0.0
@@ -151,7 +183,7 @@ def ensure_corpus():
     if not (ver_ok and os.path.exists(r1)
             and N_PAIRS * 250 < os.path.getsize(r1) < N_PAIRS * 450):
         os.makedirs(BENCH_DIR, exist_ok=True)
-        subprocess.run([sys.executable,
+        _run([sys.executable,
                         os.path.join(ROOT, "tools", "make_synth.py"),
                         "--reads", str(N_PAIRS),
                         "--out1", r1, "--out2", os.path.join(BENCH_DIR, "R2.fq")],
@@ -166,7 +198,7 @@ def ensure_corpus():
     n_warm = 262144
     if not (ver_ok and os.path.exists(w1)
             and n_warm * 250 < os.path.getsize(w1) < n_warm * 450):
-        subprocess.run([sys.executable,
+        _run([sys.executable,
                         os.path.join(ROOT, "tools", "make_synth.py"),
                         "--reads", str(n_warm), "--seed", "7",
                         "--out1", w1,
@@ -213,7 +245,7 @@ def measure_reference():
             break
         t0 = time.time()
         try:
-            subprocess.run([REF_BIN] + ARGS + ["-w", "16"], cwd=workdir,
+            _run([REF_BIN] + ARGS + ["-w", "16"], cwd=workdir,
                            check=True, capture_output=True,
                            timeout=max(60, remaining() - 60))
         except subprocess.SubprocessError as e:
@@ -304,7 +336,7 @@ def _start_server(env, wait_budget):
 
 def _stop_server(proc, env):
     try:
-        subprocess.run([sys.executable, "-c",
+        _run([sys.executable, "-c",
                         "from fastp_tpu.client import shutdown_server;"
                         "shutdown_server(%r)" % SOCK],
                        env=env, timeout=60)
@@ -325,15 +357,20 @@ def _ensure_gz_corpus():
         dst = src + ".gz"
         if not (os.path.exists(dst)
                 and os.path.getmtime(dst) >= os.path.getmtime(src)):
-            r = subprocess.run(
+            # compress to a temp path and os.replace: a mid-compress kill
+            # (budget watchdog / timeout) must never leave a truncated .gz
+            # that the mtime check above would accept as a valid corpus
+            tmp = dst + ".tmp"
+            r = _run(
                 [sys.executable, os.path.join(ROOT, "tools", "gzip_corpus.py"),
-                 src, dst], env=_client_env(),
+                 src, tmp], env=_client_env(),
                 timeout=max(30, remaining() - 60))
             if r.returncode != 0:
-                with open(dst, "wb") as f:
-                    subprocess.run(["gzip", "-1", "-c", src], stdout=f,
+                with open(tmp, "wb") as f:
+                    _run(["gzip", "-1", "-c", src], stdout=f,
                                    check=True,
                                    timeout=max(30, remaining() - 60))
+            os.replace(tmp, dst)
         paths.append(dst)
     return paths
 
@@ -378,7 +415,7 @@ def measure_ours():
                 break
             t0 = time.time()
             try:
-                r = subprocess.run(cmd, cwd=workdir, env=env, check=True,
+                r = _run(cmd, cwd=workdir, env=env, check=True,
                                    capture_output=True,
                                    timeout=max(60, remaining() - 45))
                 with open(os.path.join(BENCH_DIR, "run%d.err" % k), "wb") as f:
@@ -405,7 +442,7 @@ def measure_ours():
                     if remaining() < 120:
                         break
                     t0 = time.time()
-                    subprocess.run(gz_cmd, cwd=gz_dir, env=env, check=True,
+                    _run(gz_cmd, cwd=gz_dir, env=env, check=True,
                                    capture_output=True,
                                    timeout=max(60, remaining() - 45))
                     SNAP["gz_runs"].append(time.time() - t0)
@@ -423,7 +460,7 @@ def measure_ours():
                 break
             t0 = time.time()
             try:
-                subprocess.run(cmd, cwd=workdir,
+                _run(cmd, cwd=workdir,
                                env=dict(env, FASTP_TPU_SERVER=""),
                                check=True, capture_output=True,
                                timeout=max(60, remaining() - 45))
@@ -444,7 +481,7 @@ def measure_devices(n_devices: int, pairs: int, backend: str):
     r1 = os.path.join(dev_dir, "R1.fq")
     if not os.path.exists(r1):
         os.makedirs(dev_dir, exist_ok=True)
-        subprocess.run([sys.executable,
+        _run([sys.executable,
                         os.path.join(ROOT, "tools", "make_synth.py"),
                         "--reads", str(pairs),
                         "--out1", r1, "--out2", os.path.join(dev_dir, "R2.fq")],
@@ -467,7 +504,7 @@ def measure_devices(n_devices: int, pairs: int, backend: str):
         best = None
         for _ in range(2):  # second run reuses the compile cache
             t0 = time.time()
-            subprocess.run(cmd, cwd=workdir, env=env, check=True,
+            _run(cmd, cwd=workdir, env=env, check=True,
                            capture_output=True, timeout=7200)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

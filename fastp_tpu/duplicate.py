@@ -49,7 +49,9 @@ _buf_pool = {}
 _buf_pool_lock = threading.Lock()
 _buf_pool_cv = threading.Condition(_buf_pool_lock)
 _buf_pending = {}  # size -> count being re-zeroed
-_BUF_POOL_MAX = 3  # buffers kept per size (accuracy 6 uses 3)
+_BUF_POOL_MAX = 6  # buffers kept per size (accuracy 6 = 6 buffers,
+#                    default --dedup accuracy 3 = 4 buffers)
+_retained_size = [0]  # the ONE size class currently pooled (latest release)
 
 
 def _prefault(b: np.ndarray) -> np.ndarray:
@@ -96,6 +98,16 @@ def _release_bufs(bufs) -> None:
             if len(lst) + _buf_pending.get(b.nbytes, 0) < _BUF_POOL_MAX:
                 _buf_pending[b.nbytes] = _buf_pending.get(b.nbytes, 0) + 1
                 keep.append(b)
+        if keep:
+            # Retention decision happens HERE, atomically with the pending
+            # bump: mark this size class the retained one and evict others
+            # now.  The rezero threads below never touch other sizes, so a
+            # same-size waiter woken by notify_all can't lose its buffer to
+            # a concurrent rezero of a different size class.
+            _retained_size[0] = keep[0].nbytes
+            for size in list(_buf_pool):
+                if size != keep[0].nbytes:
+                    del _buf_pool[size]
     if not keep:
         return
 
@@ -103,10 +115,10 @@ def _release_bufs(bufs) -> None:
         for b in keep:
             b[:] = 0
             with _buf_pool_cv:
-                for size in list(_buf_pool):
-                    if size != b.nbytes:
-                        del _buf_pool[size]
-                _buf_pool.setdefault(b.nbytes, []).append(b)
+                if b.nbytes == _retained_size[0]:
+                    _buf_pool.setdefault(b.nbytes, []).append(b)
+                # else: a different size was released meanwhile; drop this
+                # buffer rather than resurrecting an evicted size class
                 _buf_pending[b.nbytes] -= 1
                 _buf_pool_cv.notify_all()
 

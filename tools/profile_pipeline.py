@@ -58,7 +58,6 @@ def main():
     print("native lib:", "yes" if nlib else "no", file=sys.stderr)
 
     total_reads = 0
-    pre_trim = None
     t_all = time.time()
     nbatches = 0
     while True:
