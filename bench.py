@@ -50,7 +50,12 @@ ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
         "-o", "out1.fq", "-O", "out2.fq"] + FLAGS
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
-BUDGET = float(os.environ.get("BENCH_BUDGET", "1500"))
+# Default budget sits under the plausible external driver timeouts (the
+# round-3 bench was externally killed at rc=124 with zero output; the exact
+# driver deadline is unknowable from here, so emit early rather than risk
+# it).  A warm bench completes in 6-10 min; the watchdog emits whatever has
+# been gathered by BUDGET-25s.
+BUDGET = float(os.environ.get("BENCH_BUDGET", "1100"))
 T0 = time.time()
 
 CORPUS_VERSION = "v3-nova4"  # bump when make_synth output changes
