@@ -266,6 +266,10 @@ class PairEndProcessor(BaseProcessor):
         import os as _os
         import time as _time
         timing = _os.environ.get("FASTP_TPU_TIMING")
+        if timing:
+            import resource as _res
+            _ru0 = _res.getrusage(_res.RUSAGE_SELF)
+            _wall0 = _time.monotonic()
         t_fetch = t_route = t_flush = 0.0
         t_prod = [0.0]  # accumulated on the prep worker
 
@@ -648,6 +652,18 @@ class PairEndProcessor(BaseProcessor):
                 sys.stderr.write(
                     "TIMING workers dispatch=%.2fs device_get=%.2fs\n"
                     % (self._t_dispatch[0], self._t_get[0]))
+            # process-wide CPU vs wall for the batch loop: on a 1-core host
+            # cpu ~= wall means the core is saturated (cut CPU work to go
+            # faster); cpu << wall means the wall is tunnel/IO waits
+            _ru1 = _res.getrusage(_res.RUSAGE_SELF)
+            sys.stderr.write(
+                "TIMING cpu user=%.2fs sys=%.2fs wall=%.2fs "
+                "minflt=%d majflt=%d\n"
+                % (_ru1.ru_utime - _ru0.ru_utime,
+                   _ru1.ru_stime - _ru0.ru_stime,
+                   _time.monotonic() - _wall0,
+                   _ru1.ru_minflt - _ru0.ru_minflt,
+                   _ru1.ru_majflt - _ru0.ru_majflt))
         if opt.verbose:
             from ..utils.log import loginfo
             loginfo("batch loop done (%d pairs)" % pairs_seen)
