@@ -19,7 +19,7 @@ for BOTH sides plus the warmup cost are emitted so the protocol and any
 baseline drift are auditable.
 
 Deadline safety: the whole bench self-budgets against BENCH_BUDGET seconds
-(default 1500).  A watchdog thread emits the best-available JSON snapshot
+(default 1100).  A watchdog thread emits the best-available JSON snapshot
 and exits just before the budget runs out, so an unlucky TPU program-load
 lottery or a wiped /tmp (corpus + reference binary regeneration) can never
 end the bench with NO output (round-3 failure mode: rc=124, empty stdout).
@@ -306,7 +306,7 @@ def _start_server(env, wait_budget):
                  "-O", os.path.join(warm_dir, "w2.fq"),
                  "-j", os.path.join(warm_dir, "w.json"),
                  "-h", os.path.join(warm_dir, "w.html")] + FLAGS + [
-                 "--batch_size", "32768"]
+                 "--batch_size", "65536"]
     serve_err = open(os.path.join(BENCH_DIR, "serve.err"), "w")
     senv = dict(env)
     senv["FASTP_TPU_TIMING"] = "1"  # per-run stage splits land in serve.err
@@ -391,9 +391,11 @@ def measure_ours():
     os.makedirs(workdir, exist_ok=True)
     env = _client_env()
     # one fixed batch shape per server: the TPU server caches ~one loaded
-    # executable, so alternating shapes would force reloads.  32k batches
-    # measured best on the tunnel (fewer, larger transfers).
-    cmd = [sys.executable, "-m", "fastp_tpu"] + ARGS + ["--batch_size", "32768"]
+    # executable, so alternating shapes would force reloads.  64k batches
+    # measured best (r4): walls 17.5-20.9s vs 21.5-48s at 32k -- fewer
+    # tunnel round trips and less per-batch overhead; 128k regresses
+    # (produce/route spikes and minflt churn).
+    cmd = [sys.executable, "-m", "fastp_tpu"] + ARGS + ["--batch_size", "65536"]
 
     # reserve time for >=2 timed runs (~60s each worst case) + slack
     wait_budget = max(90, remaining() - 240)
@@ -442,7 +444,7 @@ def measure_ours():
                 gz_cmd = [sys.executable, "-m", "fastp_tpu",
                           "-i", gz1, "-I", gz2,
                           "-o", "out1.fq", "-O", "out2.fq"] + FLAGS + [
-                          "--batch_size", "32768"]
+                          "--batch_size", "65536"]
                 for k in range(2):
                     if remaining() < 120:
                         break
