@@ -87,6 +87,10 @@ def _bind(lib):
     lib.pack_nib.argtypes = [
         _u8p, _u8p, ctypes.c_int64, _u8p, _i32p, _u8p, ctypes.c_int64,
         _i32p, _u8p, _u8p]
+    lib.pack_p3.restype = ctypes.c_int64
+    lib.pack_p3.argtypes = [
+        _u8p, _u8p, ctypes.c_int64, _u8p, _i32p, _u8p, _u8p,
+        ctypes.c_int64, _i32p, _u8p, _u8p]
     lib.known_adapter_scan.restype = ctypes.c_int32
     lib.known_adapter_scan.argtypes = [
         _u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
@@ -322,6 +326,37 @@ def pack_nib(bases: np.ndarray, quals: np.ndarray,
     if n < cap:
         exc_idx[n:] = bases.size
     return packed, exc_idx, exc_base, exc_qual, int(n)
+
+
+def pack_p3(bases: np.ndarray, quals: np.ndarray,
+            qdict: np.ndarray, qdict_n: np.ndarray):
+    """Pack [B, W] base/qual arrays into planar 3 bits/position: a
+    [B, W//4] 2-bit base plane + a [B, W//8] 1-bit qual plane over a
+    2-entry learned qual dictionary (qdict u8[2] / qdict_n i32[1] persist
+    across batches; the dict is learned from the first batch's qual
+    histogram, top-2 by count).  Returns (bplane, qplane, exc_idx,
+    exc_base, exc_qual, n_exc) or None when the exception list overflows
+    (3+ frequent qual values / N-rich input: caller falls back to
+    pack_nib's 4-bit scheme).  W must be a multiple of 8."""
+    lib = get_lib()
+    assert lib is not None
+    B, W = bases.shape
+    assert W % 8 == 0
+    cap = nib_exc_cap(bases.size)
+    bplane = np.empty((B, W // 4), np.uint8)  # pack_p3 zero-fills
+    qplane = np.empty((B, W // 8), np.uint8)
+    exc_idx = np.zeros(cap, np.int32)
+    exc_base = np.zeros(cap, np.uint8)
+    exc_qual = np.zeros(cap, np.uint8)
+    n = lib.pack_p3(np.ascontiguousarray(bases),
+                    np.ascontiguousarray(quals),
+                    bases.size, qdict, qdict_n, bplane, qplane, cap,
+                    exc_idx, exc_base, exc_qual)
+    if n < 0:
+        return None
+    if n < cap:
+        exc_idx[n:] = bases.size
+    return bplane, qplane, exc_idx, exc_base, exc_qual, int(n)
 
 
 def umi_process(nb1, noff1, nlen1, nb2, noff2, nlen2,

@@ -358,6 +358,143 @@ static int64_t nib_scalar(const uint8_t* bases, const uint8_t* quals,
     return n_exc;
 }
 
+// 3-bit planar input packing: a 2-bit base plane (4 positions/byte,
+// position 0 in bits 0-1) + a 1-bit qual plane (8 positions/byte) whose bit
+// indexes a persistent 2-entry qual dictionary.  On two-level binned data
+// (NovaSeq emits one dominant high qual + one low) this cuts H2D bytes 25%
+// below pack_nib's 4 bits/position; off-dict quals and non-ACGT bases ride
+// the same exception scatter, so the path stays byte-exact for any input.
+// The dict is learned from a FREQUENCY HISTOGRAM of the first batch (not
+// first-come like nib): a rare third qual ('#' at ~0.2%) seen early must
+// not steal a dict slot from the second-most-common value.  Returns the
+// exception count, or -1 on cap overflow (caller falls back to pack_nib).
+// Scalar inner loop over [i0, i1): |= bits into the pre-zeroed planes.
+static int64_t p3_scalar(const uint8_t* bases, const uint8_t* quals,
+                         int64_t i0, int64_t i1,
+                         const int16_t* qcode, const int8_t* bcode,
+                         uint8_t* bplane, uint8_t* qplane,
+                         int64_t exc_cap, int32_t* exc_idx,
+                         uint8_t* exc_base, uint8_t* exc_qual,
+                         int64_t n_exc) {
+    for (int64_t i = i0; i < i1; i++) {
+        uint8_t b = bases[i];
+        if (b == 0) continue;  // pad: code 0, device re-zeroes by length
+        int c = bcode[b];
+        int q = qcode[quals[i]];
+        if (c < 0 || q < 0) {
+            if (n_exc >= exc_cap) return -1;
+            exc_idx[n_exc] = (int32_t)i;
+            exc_base[n_exc] = b;
+            exc_qual[n_exc] = quals[i];
+            n_exc++;
+            continue;  // placeholder code 0; the scatter overwrites
+        }
+        bplane[i >> 2] |= (uint8_t)(c << ((i & 3) * 2));
+        qplane[i >> 3] |= (uint8_t)(q << (i & 7));
+    }
+    return n_exc;
+}
+
+int64_t pack_p3(const uint8_t* bases, const uint8_t* quals, int64_t n,
+                uint8_t* qdict, int32_t* qdict_n,
+                uint8_t* bplane, uint8_t* qplane, int64_t exc_cap,
+                int32_t* exc_idx, uint8_t* exc_base, uint8_t* exc_qual) {
+    static int8_t bcode[256];
+    static bool binit = false;
+    if (!binit) {
+        memset(bcode, -1, sizeof(bcode));
+        bcode[(int)'A'] = 0; bcode[(int)'C'] = 1;
+        bcode[(int)'G'] = 2; bcode[(int)'T'] = 3;
+        binit = true;
+    }
+    int nq = *qdict_n;
+    if (nq < 2) {
+        // learn the dict from this batch's qual histogram: top-2 by count
+        int64_t hist[256] = {0};
+        for (int64_t i = 0; i < n; i++) hist[quals[i]]++;
+        hist[0] = 0;  // pad
+        for (int k = 0; k < nq; k++) hist[qdict[k]] = 0;  // already chosen
+        while (nq < 2) {
+            int best = -1;
+            int64_t bc = 0;
+            for (int v = 1; v < 256; v++)
+                if (hist[v] > bc) { bc = hist[v]; best = v; }
+            if (best < 0) break;  // fewer than 2 distinct quals in input
+            qdict[nq++] = (uint8_t)best;
+            hist[best] = 0;
+        }
+        if (nq == 1) { qdict[1] = qdict[0]; nq = 2; }  // degenerate alphabet
+        *qdict_n = nq;
+        if (nq < 2) return -1;  // empty batch: let the caller fall back
+    }
+    int16_t qcode[256];
+    memset(qcode, -1, sizeof(qcode));
+    qcode[qdict[0]] = 0;
+    qcode[qdict[1]] = 1;
+    memset(bplane, 0, (size_t)((n + 3) / 4));
+    memset(qplane, 0, (size_t)((n + 7) / 8));
+    int64_t n_exc = 0;
+    int64_t i = 0;
+#ifdef __AVX2__
+    {
+        // base low-nibble -> 2-bit code, as in pack_nib
+        const __m128i lo_tbl128 = _mm_setr_epi8(
+            0, 0, 0, 1, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0);
+        const __m128i chr_tbl128 = _mm_setr_epi8(
+            'A', 'C', 'G', 'T', 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0);
+        const __m256i lo_tbl = _mm256_broadcastsi128_si256(lo_tbl128);
+        const __m256i chr_tbl = _mm256_broadcastsi128_si256(chr_tbl128);
+        const __m256i nib_mask = _mm256_set1_epi8(0x0F);
+        const __m256i zero = _mm256_setzero_si256();
+        const __m256i qv0 = _mm256_set1_epi8((char)qdict[0]);
+        const __m256i qv1 = _mm256_set1_epi8((char)qdict[1]);
+        // stage 1: even + odd*4 per byte pair -> one 4-bit value per pair
+        const __m256i pack2_mul = _mm256_set1_epi16(0x0401);
+        const __m256i lane_fix = _mm256_setr_epi32(0, 1, 4, 5, 0, 0, 0, 0);
+        // stage 2 (128-bit): pair_even + pair_odd*16 -> one byte per 4 pos
+        const __m128i pack4_mul = _mm_set1_epi16(0x1001);
+        const __m128i zero128 = _mm_setzero_si128();
+        for (; i + 32 <= n; i += 32) {
+            __m256i b = _mm256_loadu_si256((const __m256i*)(bases + i));
+            __m256i q = _mm256_loadu_si256((const __m256i*)(quals + i));
+            __m256i pad = _mm256_cmpeq_epi8(b, zero);
+            __m256i bc = _mm256_shuffle_epi8(
+                lo_tbl, _mm256_and_si256(b, nib_mask));
+            __m256i expect = _mm256_shuffle_epi8(chr_tbl, bc);
+            __m256i valid_b = _mm256_or_si256(
+                _mm256_cmpeq_epi8(b, expect), pad);
+            __m256i m0 = _mm256_cmpeq_epi8(q, qv0);
+            __m256i m1 = _mm256_cmpeq_epi8(q, qv1);
+            __m256i ok = _mm256_and_si256(
+                valid_b, _mm256_or_si256(_mm256_or_si256(m0, m1), pad));
+            if (_mm256_movemask_epi8(ok) != -1) {
+                n_exc = p3_scalar(bases, quals, i, i + 32, qcode, bcode,
+                                  bplane, qplane, exc_cap, exc_idx,
+                                  exc_base, exc_qual, n_exc);
+                if (n_exc < 0) return -1;
+                continue;
+            }
+            // qual plane: one movemask bit per position (m1 is 0/0xFF and
+            // never matches the 0-valued pad quals)
+            uint32_t qbits = (uint32_t)_mm256_movemask_epi8(m1);
+            memcpy(qplane + (i >> 3), &qbits, 4);
+            // base plane: two maddubs rounds pack 32 codes into 8 bytes
+            __m256i val = _mm256_andnot_si256(pad, bc);
+            __m256i t = _mm256_maddubs_epi16(val, pack2_mul);
+            __m256i r = _mm256_packus_epi16(t, zero);
+            r = _mm256_permutevar8x32_epi32(r, lane_fix);
+            __m128i r128 = _mm256_castsi256_si128(r);
+            __m128i t2 = _mm_maddubs_epi16(r128, pack4_mul);
+            __m128i p8 = _mm_packus_epi16(t2, zero128);
+            _mm_storel_epi64((__m128i*)(bplane + (i >> 2)), p8);
+        }
+    }
+#endif
+    n_exc = p3_scalar(bases, quals, i, n, qcode, bcode, bplane, qplane,
+                      exc_cap, exc_idx, exc_base, exc_qual, n_exc);
+    return n_exc;
+}
+
 int64_t pack_nib(const uint8_t* bases, const uint8_t* quals, int64_t n,
                  uint8_t* qdict, int32_t* qdict_n,
                  uint8_t* packed, int64_t exc_cap,

@@ -611,7 +611,14 @@ def build_se_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                              B, layout, mega, L, acc_on)
 
     n_aux = len(aux_arg_names(cfg))
-    if packed == "nib":
+    if packed == "p3":
+        def p3_step(bp, qp, ei, eb, eq, qlut, lengths, *aux):
+            lengths = lengths.astype(jnp.int32)
+            bases, quals = _unpack_p3(bp, qp, qlut, lengths, ei, eb, eq)
+            pre, _, idx, ded, valid = _expand_aux(cfg, bp.shape[0], aux)
+            return se_step(bases, quals, lengths, pre, idx, ded, valid)
+        inner, n_args = p3_step, 7 + n_aux
+    elif packed == "nib":
         def nib_step(p, qlut, ei, eb, eq, lengths, *aux):
             lengths = lengths.astype(jnp.int32)
             bases, quals = _unpack_nib(p, qlut, lengths, ei, eb, eq)
@@ -648,6 +655,29 @@ def _unpack_nib(p, qlut, lengths, idx, base, qual):
     blut = jnp.array([65, 67, 71, 84], jnp.uint8)
     b = blut[codes & 3]
     q = qlut[codes >> 2]
+    m = jnp.arange(W, dtype=jnp.int32)[None, :] < lengths[:, None]
+    b = jnp.where(m, b, 0)
+    q = jnp.where(m, q, 0)
+    b = b.reshape(-1).at[idx].set(base, mode="drop").reshape(B, W)
+    q = q.reshape(-1).at[idx].set(qual, mode="drop").reshape(B, W)
+    return b, q
+
+
+def _unpack_p3(bp, qp, qlut, lengths, idx, base, qual):
+    """Invert the host 3-bit planar packer (native pack_p3): bp holds 2-bit
+    base codes (4 positions/byte, position 0 in bits 0-1) decoding through
+    a fixed ACGT LUT; qp holds 1 bit/position (8/byte) indexing the 2-entry
+    learned qual dictionary qlut (u8[2]); pad re-zeroes from the length
+    mask; exceptions scatter raw (base, qual) bytes back in."""
+    B, Wb = bp.shape
+    W = Wb * 4
+    bcodes = jnp.stack([(bp >> (2 * k)) & 3 for k in range(4)],
+                       axis=-1).reshape(B, W).astype(jnp.int32)
+    blut = jnp.array([65, 67, 71, 84], jnp.uint8)
+    b = blut[bcodes]
+    qbits = jnp.stack([(qp >> k) & 1 for k in range(8)],
+                      axis=-1).reshape(B, W).astype(jnp.int32)
+    q = qlut[qbits]
     m = jnp.arange(W, dtype=jnp.int32)[None, :] < lengths[:, None]
     b = jnp.where(m, b, 0)
     q = jnp.where(m, q, 0)
@@ -886,7 +916,18 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                              B, layout, mega, L, acc_on)
 
     n_aux = len(aux_arg_names(cfg))
-    if packed == "nib":
+    if packed == "p3":
+        def p3_step(bp1, qp1, e1i, e1b, e1q, bp2, qp2, e2i, e2b, e2q,
+                    qlut, l1, l2, *aux):
+            l1 = l1.astype(jnp.int32)
+            l2 = l2.astype(jnp.int32)
+            b1, q1 = _unpack_p3(bp1, qp1, qlut, l1, e1i, e1b, e1q)
+            b2, q2 = _unpack_p3(bp2, qp2, qlut, l2, e2i, e2b, e2q)
+            pre1, pre2, idx, ded, valid = _expand_aux(cfg, bp1.shape[0], aux)
+            return pe_step(b1, q1, l1, b2, q2, l2, pre1, pre2,
+                           idx, ded, valid)
+        inner, n_args = p3_step, 13 + n_aux
+    elif packed == "nib":
         def nib_step(p1, e1i, e1b, e1q, p2, e2i, e2b, e2q, qlut, l1, l2,
                      *aux):
             l1 = l1.astype(jnp.int32)

@@ -85,6 +85,8 @@ class PairEndProcessor(BaseProcessor):
         self._packed_layout = None
         self._nib_step = None
         self._nib_layout = None
+        self._p3_step = None
+        self._p3_layout = None
         self.width = _round_width(max(opt.seqLen1, opt.seqLen2, 32))
         self.pre_stats1 = Stats(opt, False, self.width)
         self.post_stats1 = Stats(opt, False, self.width * 2)
@@ -693,6 +695,23 @@ class PairEndProcessor(BaseProcessor):
         l1p = l1p.astype(ldt)
         l2p = l2p.astype(ldt)
         aux = make_aux(self.cfg, valid, pt1p, pt2p, idxp, dedp)
+        p31 = self._try_pack_p3(b1p, q1p)
+        p32 = self._try_pack_p3(b2p, q2p) if p31 is not None else None
+        if p31 is not None and p32 is not None:
+            if self._p3_step is None:
+                inner = build_pe_step(self.cfg, packed="p3",
+                                      mega=self._mega, accum=self._accum)
+                self._p3_layout = inner.layout
+                self._p3_step = self._wrap_step(inner)
+            bp1, qp1, e1i, e1b, e1q = p31
+            bp2, qp2, e2i, e2b, e2q = p32
+            out = self._call_step(
+                self._p3_step,
+                lambda: build_pe_step(self.cfg, packed="p3",
+                                      mega=self._mega, accum="spec"),
+                W, (bp1, qp1, e1i, e1b, e1q, bp2, qp2, e2i, e2b, e2q,
+                    self._qdict2.copy(), l1p, l2p) + aux)
+            return out, self._p3_layout
         nib1 = self._try_pack_nib(b1p, q1p)
         nib2 = self._try_pack_nib(b2p, q2p) if nib1 is not None else None
         if nib1 is not None and nib2 is not None:

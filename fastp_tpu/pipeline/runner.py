@@ -319,6 +319,34 @@ class BaseProcessor:
             return None
         return res[:4]
 
+    def _try_pack_p3(self, bases, quals):
+        """(bplane, qplane, exc_idx, exc_base, exc_qual) or None.
+
+        Planar 3-bit packing (2-bit base plane + 1-bit qual plane over a
+        2-entry frequency-learned qual dictionary) cuts H2D bytes 25%
+        below the 4-bit nib scheme on two-level binned data (NovaSeq: one
+        dominant high qual + one low; rarities ride the exception
+        scatter).  Sticky per run like nib: one fallback and p3 stays off
+        so the device keeps running ONE program."""
+        import os
+        if (os.environ.get("FASTP_TPU_NO_INPUT_PACK")
+                or os.environ.get("FASTP_TPU_NO_NIB")
+                or os.environ.get("FASTP_TPU_NO_P3")
+                or getattr(self, "_p3_dead", False)
+                or bases.shape[1] % 8):
+            return None
+        from ..io import native as native_mod
+        if native_mod.get_lib() is None:
+            return None
+        if not hasattr(self, "_qdict2"):
+            self._qdict2 = np.zeros(2, np.uint8)
+            self._qdict2_n = np.zeros(1, np.int32)
+        res = native_mod.pack_p3(bases, quals, self._qdict2, self._qdict2_n)
+        if res is None:
+            self._p3_dead = True
+            return None
+        return res[:5]
+
     def _try_pack_inputs(self, bases, quals):
         """(packed, exc_idx, exc_base, exc_qual) or None.
 
@@ -534,6 +562,8 @@ class SingleEndProcessor(BaseProcessor):
         self._packed_layout = None
         self._nib_step = None
         self._nib_layout = None
+        self._p3_step = None
+        self._p3_layout = None
         self.pre_stats = Stats(opt, False, self.width)
         self.post_stats = Stats(opt, False, self.width)
         self.filter_result = FilterResult(opt, False)
@@ -548,6 +578,21 @@ class SingleEndProcessor(BaseProcessor):
         lengths_p = lengths_p.astype(length_dtype(W))
         aux = make_aux(self.cfg, valid, pre_trim_p, None,
                        index_drop_p, dedup_p)
+        p3 = self._try_pack_p3(bases_p, quals_p)
+        if p3 is not None:
+            if self._p3_step is None:
+                inner = build_se_step(self.cfg, packed="p3",
+                                      mega=self._mega, accum=self._accum)
+                self._p3_layout = inner.layout
+                self._p3_step = self._wrap_step(inner)
+            bp, qp, ei, eb, eq = p3
+            out = self._call_step(
+                self._p3_step,
+                lambda: build_se_step(self.cfg, packed="p3",
+                                      mega=self._mega, accum="spec"),
+                W, (bp, qp, ei, eb, eq, self._qdict2.copy(),
+                    lengths_p) + aux)
+            return out, self._p3_layout
         nib = self._try_pack_nib(bases_p, quals_p)
         if nib is not None:
             if self._nib_step is None:
