@@ -426,10 +426,19 @@ class BaseProcessor:
             self._prep_exec = ThreadPoolExecutor(max_workers=1)
         return self._prep_exec
 
-    def _batch_stream(self, produce, depth: int = 2):
+    def _batch_stream(self, produce, depth: int = None):
         """Yield produce() results with `depth` calls in flight on the prep
-        worker (the generator ends at the first None)."""
+        worker (the generator ends at the first None).
+
+        Depth bounds how many batches are in flight end-to-end (produce ->
+        dispatch -> fetch).  Each batch's pipeline latency (~0.6-1s on the
+        tunnel) spans ~3 stage times, so depth must exceed latency/stage
+        for the main loop to never stall on a future; 3 measured best
+        (FASTP_TPU_PREFETCH overrides)."""
+        import os as _os
         from collections import deque
+        if depth is None:
+            depth = max(1, int(_os.environ.get("FASTP_TPU_PREFETCH", "3")))
         pool = self._prep_pool()
         q = deque(pool.submit(produce) for _ in range(depth))
         while True:
