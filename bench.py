@@ -49,7 +49,7 @@ ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
         "-I", os.path.join(BENCH_DIR, "R2.fq"),
         "-o", "out1.fq", "-O", "out2.fq"] + FLAGS
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "7"))
 # Default budget sits under the plausible external driver timeouts (the
 # round-3 bench was externally killed at rc=124 with zero output; the exact
 # driver deadline is unknowable from here, so emit early rather than risk
@@ -146,8 +146,11 @@ def emit_and_exit(code=0):
                                   if SNAP["warmup"] else None),
         "ref_runs_seconds": [round(r, 2) for r in SNAP["ref_runs"]],
         "gz_input_runs_seconds": [round(r, 2) for r in SNAP["gz_runs"]],
-        "gz_vs_plain": (round(_median(runs) / min(SNAP["gz_runs"]), 3)
-                        if SNAP["gz_runs"] and runs else None),
+        # >1.0 means gz input runs FASTER than the plain-text median;
+        # median/median (the old min-based form flattered the gz side)
+        "plain_over_gz_median": (
+            round(_median(runs) / _median(SNAP["gz_runs"]), 3)
+            if SNAP["gz_runs"] and runs else None),
         "baseline_reads_per_sec": round(baseline, 1),
         "baseline_source": SNAP["baseline_source"],
         "elapsed_seconds": round(time.time() - T0, 1),
@@ -157,7 +160,9 @@ def emit_and_exit(code=0):
         rec["notes"] = SNAP["notes"]
     sys.stdout.write(json.dumps(rec) + "\n")
     sys.stdout.flush()
-    for p in _children:
+    # snapshot: _run() on other threads mutates _children concurrently, and
+    # index-based iteration over a shrinking list can skip a live child
+    for p in list(_children):
         if p.poll() is None:
             try:
                 p.send_signal(signal.SIGKILL)
@@ -211,35 +216,63 @@ def ensure_corpus():
                        check=True, timeout=max(60, remaining() - 60))
 
 
+def _load_baseline_cache():
+    if not os.path.exists(BASELINE_CACHE):
+        return None
+    try:
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _use_cache(cache, tag):
+    SNAP["baseline"] = cache["fastp_w16_reads_per_sec"]
+    SNAP["baseline_source"] = tag
+    SNAP["ref_runs"] = cache.get("raw_seconds", [])
+
+
 def measure_reference():
     """Baseline reads/s for fastp -w 16 on this host.
 
-    Prefers the cached same-host measurement (tools/bench_baseline.json):
-    a reference run costs 170-350s per run on this 1-core host, and the
-    cache records raw seconds + host_cores so drift is auditable.  Only
-    re-measures when no matching cache exists and budget allows.
+    Re-measures IN-SESSION whenever enough budget remains after our own
+    runs (the reference is protocol-sensitive to host weather: cached
+    values from another session drifted 50k->23k r/s across rounds).  The
+    cache (tools/bench_baseline.json) is the fallback when budget or the
+    binary is unavailable; it records raw seconds + host_cores +
+    corpus_version so any reuse is auditable.  Like our own headline, the
+    baseline is the MEDIAN of its runs.
     """
-    cache = None
-    if os.path.exists(BASELINE_CACHE):
-        try:
-            with open(BASELINE_CACHE) as f:
-                cache = json.load(f)
-        except (OSError, ValueError):
-            cache = None
+    cache = _load_baseline_cache()
     cache_ok = (cache and cache.get("pairs") == N_PAIRS
-                and cache.get("host_cores") == os.cpu_count())
-    if cache_ok:
-        SNAP["baseline"] = cache["fastp_w16_reads_per_sec"]
-        SNAP["baseline_source"] = "cache(host_cores=%d)" % os.cpu_count()
-        SNAP["ref_runs"] = cache.get("raw_seconds", [])
-        return
+                and cache.get("host_cores") == os.cpu_count()
+                and cache.get("corpus_version") == CORPUS_VERSION)
+    if not os.path.exists(REF_BIN) and remaining() > 700:
+        try:  # /tmp wiped between sessions: rebuild the reference
+            _run(["sh", os.path.join(ROOT, "tools", "build_reference.sh")],
+                 check=True, capture_output=True,
+                 timeout=max(60, remaining() - 500))
+        except subprocess.SubprocessError as e:
+            SNAP["notes"].append("reference rebuild failed: %s" % (e,))
     if not os.path.exists(REF_BIN):
-        if cache:  # stale cache beats nothing; flag it
-            SNAP["baseline"] = cache["fastp_w16_reads_per_sec"]
-            SNAP["baseline_source"] = "stale-cache(pairs=%s,cores=%s)" % (
-                cache.get("pairs"), cache.get("host_cores"))
+        if cache_ok:
+            _use_cache(cache, "cache(host_cores=%d)" % os.cpu_count())
+        elif cache:  # stale cache beats nothing; flag it
+            _use_cache(cache, "stale-cache(pairs=%s,cores=%s,corpus=%s)" % (
+                cache.get("pairs"), cache.get("host_cores"),
+                cache.get("corpus_version")))
         else:
             SNAP["notes"].append("no reference binary and no cache")
+        return
+    # in-session measurement: 1 run needs ~400s of slack on this 1-core
+    # host (observed 170-350s/run); fall back to the cache below that
+    if remaining() < 400:
+        if cache_ok:
+            _use_cache(cache, "cache(host_cores=%d)" % os.cpu_count())
+            SNAP["notes"].append("baseline from cache (budget left %.0fs)"
+                                 % remaining())
+        elif cache:
+            _use_cache(cache, "stale-cache")
         return
     workdir = os.path.join(BENCH_DIR, "ref_run")
     os.makedirs(workdir, exist_ok=True)
@@ -258,19 +291,22 @@ def measure_reference():
             break
         runs.append(time.time() - t0)
         SNAP["ref_runs"] = list(runs)
+        # keep the watchdog snapshot honest mid-measurement
+        SNAP["baseline"] = 2 * N_PAIRS / _median(runs)
+        SNAP["baseline_source"] = "measured(n=%d)" % len(runs)
     if not runs:
         if cache:
-            SNAP["baseline"] = cache["fastp_w16_reads_per_sec"]
-            SNAP["baseline_source"] = "stale-cache"
+            _use_cache(cache, "stale-cache")
         return
-    best = 2 * N_PAIRS / min(runs)
-    SNAP["baseline"] = best
+    med = 2 * N_PAIRS / _median(runs)
+    SNAP["baseline"] = med
     SNAP["baseline_source"] = "measured"
     if N_PAIRS >= 1000000:
         try:
             with open(BASELINE_CACHE, "w") as f:
-                json.dump({"fastp_w16_reads_per_sec": best, "pairs": N_PAIRS,
+                json.dump({"fastp_w16_reads_per_sec": med, "pairs": N_PAIRS,
                            "host_cores": os.cpu_count(),
+                           "corpus_version": CORPUS_VERSION,
                            "previous_value": (cache or {}).get(
                                "fastp_w16_reads_per_sec"),
                            "raw_seconds": [round(r, 2) for r in runs]}, f)
@@ -477,21 +513,30 @@ def measure_ours():
             SNAP["runs"].append(time.time() - t0)
 
 
+def _file_bytes(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def measure_devices(n_devices: int, pairs: int, backend: str):
-    """Multi-chip scaling harness: run the pipeline over an n-device
-    jax.sharding mesh (--devices) and over 1 device, emit reads/s and
-    scaling efficiency.  With backend=cpu this exercises the sharded
-    path on a virtual host-device mesh (all virtual devices share the
-    host's cores, so efficiency is a correctness/coverage signal, not a
-    hardware number); on a real multi-chip host run with backend=tpu."""
+    """Host scale-out harness: run the pipeline (a) over an n-device
+    jax.sharding mesh in one process (--devices), (b) as n record-range-
+    sharded local processes (--local_processes), and (c) over 1 device,
+    emitting reads/s, scaling efficiency, and BYTE-PARITY of each scaled
+    run's output against the 1-device run.  With backend=cpu this
+    exercises the full sharded/sharding machinery on virtual host devices
+    (they share the host's cores, so efficiency is a correctness/coverage
+    signal, not a hardware number); on a real multi-chip host run with
+    backend=tpu for hardware scaling numbers."""
     dev_dir = os.path.join(BENCH_DIR, "dev%d" % pairs)
     r1 = os.path.join(dev_dir, "R1.fq")
+    r2 = os.path.join(dev_dir, "R2.fq")
     if not os.path.exists(r1):
         os.makedirs(dev_dir, exist_ok=True)
         _run([sys.executable,
                         os.path.join(ROOT, "tools", "make_synth.py"),
                         "--reads", str(pairs),
-                        "--out1", r1, "--out2", os.path.join(dev_dir, "R2.fq")],
+                        "--out1", r1, "--out2", r2],
                        check=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
@@ -500,37 +545,76 @@ def measure_devices(n_devices: int, pairs: int, backend: str):
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d "
                             % n_devices + env.get("XLA_FLAGS", ""))
-    results = {}
-    for nd in (1, n_devices):
-        workdir = os.path.join(dev_dir, "run%d" % nd)
+    base = [sys.executable, "-m", "fastp_tpu",
+            "-i", r1, "-I", r2, "-o", "out1.fq", "-O", "out2.fq"] + FLAGS
+
+    def timed(workdir, cmd, n_runs=3):
+        """Cold run 0 pays compile/init; the reported number is the median
+        of the remaining warm(-cache) runs."""
         os.makedirs(workdir, exist_ok=True)
-        cmd = [sys.executable, "-m", "fastp_tpu",
-               "-i", r1, "-I", os.path.join(dev_dir, "R2.fq"),
-               "-o", "out1.fq", "-O", "out2.fq"] + FLAGS + [
-               "--devices", str(nd), "--batch_size", "8192"]
-        best = None
-        for _ in range(2):  # second run reuses the compile cache
+        secs = []
+        for _ in range(n_runs):
             t0 = time.time()
             _run(cmd, cwd=workdir, env=env, check=True,
-                           capture_output=True, timeout=7200)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        results[nd] = 2 * pairs / best
-    eff = results[n_devices] / (results[1] * n_devices)
+                 capture_output=True, timeout=7200)
+            secs.append(time.time() - t0)
+        return secs
+
+    points = {}
+    raw = {}
+    # (1) single device, single process
+    d1 = os.path.join(dev_dir, "run1")
+    raw["1dev"] = timed(d1, base + ["--devices", "1", "--batch_size", "8192"])
+    points["1dev"] = 2 * pairs / _median(raw["1dev"][1:])
+    golden = {out: _file_bytes(os.path.join(d1, out))
+              for out in ("out1.fq", "out2.fq")}
+    # (2) n-device dp mesh, one process
+    dm = os.path.join(dev_dir, "run%d" % n_devices)
+    raw["mesh"] = timed(dm, base + ["--devices", str(n_devices),
+                                    "--batch_size", "8192"])
+    points["mesh"] = 2 * pairs / _median(raw["mesh"][1:])
+    mesh_parity = all(_file_bytes(os.path.join(dm, out)) == golden[out]
+                      for out in ("out1.fq", "out2.fq"))
+    # (3) n local processes (record-range shards, merged report)
+    dp = os.path.join(dev_dir, "procs%d" % n_devices)
+    penv_extra = {"FASTP_TPU_DEVICES": "1"}
+    env.update(penv_extra)
+    raw["procs"] = timed(dp, base + ["--local_processes", str(n_devices),
+                                     "--batch_size", "8192"])
+    for k in penv_extra:
+        env.pop(k, None)
+    points["procs"] = 2 * pairs / _median(raw["procs"][1:])
+    procs_parity = True
+    for out in ("out1.fq", "out2.fq"):
+        cat = b"".join(_file_bytes(os.path.join(
+            dp, "%04d.%s" % (s + 1, out))) for s in range(n_devices))
+        procs_parity = procs_parity and cat == golden[out]
     print(json.dumps({
         "metric": "pe150_mesh_reads_per_sec",
-        "value": round(results[n_devices], 1),
+        "value": round(points["mesh"], 1),
         "unit": "reads/s",
         "vs_baseline": None,
         "devices": n_devices,
         "backend": backend,
         "pairs": pairs,
-        "reads_per_sec_1dev": round(results[1], 1),
-        "scaling_efficiency": round(eff, 3),
-        "protocol": "jax.sharding dp mesh via --devices; best of 2 "
-                    "cold-process runs per point (virtual CPU devices "
-                    "share host cores; efficiency is meaningful on real "
-                    "multi-chip hardware)",
+        "reads_per_sec_1dev": round(points["1dev"], 1),
+        "reads_per_sec_mesh": round(points["mesh"], 1),
+        "reads_per_sec_local_processes": round(points["procs"], 1),
+        "scaling_efficiency_mesh": round(
+            points["mesh"] / (points["1dev"] * n_devices), 3),
+        "scaling_efficiency_local_processes": round(
+            points["procs"] / (points["1dev"] * n_devices), 3),
+        "byte_parity_mesh_vs_1dev": mesh_parity,
+        "byte_parity_local_processes_vs_1dev": procs_parity,
+        "runs_seconds": {k: [round(s, 2) for s in v]
+                         for k, v in raw.items()},
+        "protocol": "3 cold-process runs per point, median of the 2 "
+                    "post-compile-cache runs; mesh = jax.sharding dp via "
+                    "--devices in one process; local_processes = "
+                    "self-spawned record-range shards merged into one "
+                    "report; parity = output bytes equal the 1-device "
+                    "run (virtual CPU devices share host cores, so "
+                    "efficiency is meaningful on real multi-chip hosts)",
     }))
 
 

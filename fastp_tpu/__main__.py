@@ -31,7 +31,10 @@ if len(sys.argv) >= 2 and sys.argv[1] == "serve":
 # STDIN-streaming jobs stay local; on any client failure fall back to local.
 _srv = os.environ.get("FASTP_TPU_SERVER")
 if (_srv and os.path.exists(_srv) and "--stdin" not in sys.argv
-        and "/dev/stdin" not in sys.argv):
+        and "/dev/stdin" not in sys.argv
+        # the --local_processes launcher must run locally (its CHILDREN
+        # are what route to servers, one per chip via FASTP_TPU_SERVERS)
+        and not any(a.startswith("--local_processes") for a in sys.argv)):
     from .client import run_via_server
     _rc = run_via_server(_srv, sys.argv)
     if _rc is not None:

@@ -132,6 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
       help="reads per device batch (fastp_tpu extension)")
     a("--devices", type=int, default=0,
       help="data-parallel device shards; 0 = all local devices")
+    a("--local_processes", type=int, default=0,
+      help="self-spawn N record-range-sharded processes on this host "
+           "(one per chip on a multi-chip host; merged single report)")
     return p
 
 
@@ -303,6 +306,96 @@ def options_from_args(args, argv) -> Options:
     return opt
 
 
+def _spawn_local_shards(argv, n: int, opt) -> int:
+    """Self-spawning same-host scale-out: run the job as N record-range-
+    sharded processes and merge their stats into one report.
+
+    The reference scales one process with -w N worker threads
+    (reference: src/peprocessor.cpp:750-754, src/options.cpp:14); the
+    TPU-native equivalent spawns N single-chip processes, because the
+    scaling wall on a TPU host is host-side produce (tokenize/pack/route on
+    the CPU), not device compute — separate processes get separate GILs,
+    page tables, and chips.  Children reuse the multi-host machinery
+    (parallel/multihost.py): record-aligned input shards, per-shard
+    "0001."-prefixed outputs, exact cross-shard dedup, and a single merged
+    JSON/HTML report from shard 0 via the same-host filesystem exchange.
+
+    Chip assignment: FASTP_TPU_SERVERS=sock0,sock1,... routes child k to
+    resident server k%len (one pre-warmed server per chip — the production
+    layout); FASTP_TPU_ASSIGN_CHIPS=1 instead pins child k to chip k via
+    the libtpu single-chip-per-process env recipe for in-process backends.
+    """
+    import subprocess
+    from .config import error_exit
+    if opt.split.enabled:
+        error_exit("--split cannot be combined with --local_processes "
+                   "(outputs are already sharded per process)")
+    if opt.inputFromSTDIN or opt.in1 in ("/dev/stdin", "-"):
+        error_exit("--local_processes does not support STDIN input")
+    child_args = []
+    i = 1
+    while i < len(argv):
+        if argv[i] == "--local_processes":
+            i += 2
+            continue
+        if argv[i].startswith("--local_processes="):
+            i += 1
+            continue
+        child_args.append(argv[i])
+        i += 1
+    servers = [s for s in os.environ.get("FASTP_TPU_SERVERS", "").split(",")
+               if s]
+    log_dir = os.path.dirname(os.path.abspath(opt.jsonFile)) or "."
+    procs = []
+    logs = []
+    for k in range(n):
+        env = dict(os.environ)
+        env["FASTP_TPU_SHARD_INDEX"] = str(k)
+        env["FASTP_TPU_SHARD_COUNT"] = str(n)
+        env.pop("FASTP_TPU_LOCAL_PROCESSES", None)
+        if servers:
+            env["FASTP_TPU_SERVER"] = servers[k % len(servers)]
+        if os.environ.get("FASTP_TPU_ASSIGN_CHIPS"):
+            # libtpu single-chip-per-process recipe: each child sees a
+            # 1-chip topology and runs coordination-free
+            env["TPU_VISIBLE_DEVICES"] = str(k)
+            env["TPU_PROCESS_BOUNDS"] = "1,1,1"
+            env["TPU_CHIPS_PER_PROCESS_BOUNDS"] = "1,1,1"
+        # shard 0 keeps the console (it prints the merged summary); other
+        # shards log to files that surface only on failure
+        if k == 0:
+            errdst = None
+        else:
+            logs.append(os.path.join(log_dir, ".fastp_shard_log.%d" % k))
+            errdst = open(logs[-1], "wb")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "fastp_tpu"] + child_args,
+            env=env, stderr=errdst))
+        if errdst is not None:
+            errdst.close()
+    rc = 0
+    for k, p in enumerate(procs):
+        r = p.wait()
+        if r != 0:
+            rc = rc or r
+            sys.stderr.write("fastp_tpu: shard %d/%d exited with %d\n"
+                             % (k, n, r))
+            if k > 0:
+                try:
+                    with open(os.path.join(
+                            log_dir, ".fastp_shard_log.%d" % k), "rb") as f:
+                        sys.stderr.buffer.write(f.read()[-4000:])
+                except OSError:
+                    pass
+    if rc == 0:
+        for pth in logs:
+            try:
+                os.unlink(pth)
+            except OSError:
+                pass
+    return rc
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv
@@ -338,6 +431,11 @@ def main(argv=None):
 
     opt = options_from_args(args, argv)
     t1 = time.time()
+
+    n_local = args.local_processes or int(os.environ.get(
+        "FASTP_TPU_LOCAL_PROCESSES", "0"))
+    if n_local > 1 and not os.environ.get("FASTP_TPU_SHARD_COUNT"):
+        return _spawn_local_shards(argv, n_local, opt)
 
     # early input existence check (the reference's FastqReader error_exits
     # on open failure before validate runs at main.cpp:485)

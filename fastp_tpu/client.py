@@ -33,8 +33,13 @@ def run_via_server(sock_path: str, argv):
     except OSError:
         return None
     try:
+        # job-level knobs (shard index/count from the --local_processes
+        # launcher, timing/debug toggles) ride the request so the resident
+        # server applies them for this job only
+        jobenv = {k: v for k, v in os.environ.items()
+                  if k.startswith("FASTP_TPU_") and k != "FASTP_TPU_SERVER"}
         req = json.dumps({"op": "run", "argv": list(argv),
-                          "cwd": os.getcwd()}) + "\n"
+                          "cwd": os.getcwd(), "env": jobenv}) + "\n"
         conn.sendall(req.encode())
         out = getattr(sys.stdout, "buffer", sys.stdout)
         err = getattr(sys.stderr, "buffer", sys.stderr)

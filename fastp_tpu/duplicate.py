@@ -70,7 +70,9 @@ def _prefault(b: np.ndarray) -> np.ndarray:
     the kernel attempts direct compaction on every fault and never
     assembles a huge page on this hypervisor (AnonHugePages stays 0),
     making faults 75% slower."""
-    if os.environ.get("FASTP_TPU_POOL_PREFAULT"):
+    # parse the value, not string truthiness: '0'/'false' must disable
+    # prefaulting even where server.py setdefault'ed it to '1'
+    if os.environ.get("FASTP_TPU_POOL_PREFAULT", "") not in ("", "0", "false"):
         b[::4096] = 0
     return b
 

@@ -399,14 +399,18 @@ int64_t pack_p3(const uint8_t* bases, const uint8_t* quals, int64_t n,
                 uint8_t* qdict, int32_t* qdict_n,
                 uint8_t* bplane, uint8_t* qplane, int64_t exc_cap,
                 int32_t* exc_idx, uint8_t* exc_base, uint8_t* exc_qual) {
-    static int8_t bcode[256];
-    static bool binit = false;
-    if (!binit) {
-        memset(bcode, -1, sizeof(bcode));
-        bcode[(int)'A'] = 0; bcode[(int)'C'] = 1;
-        bcode[(int)'G'] = 2; bcode[(int)'T'] = 3;
-        binit = true;
-    }
+    // C++11 magic static: thread-safe one-time init (a plain bool guard
+    // raced when two threads made their first pack_p3 call concurrently)
+    struct BCode {
+        int8_t t[256];
+        BCode() {
+            memset(t, -1, sizeof(t));
+            t[(int)'A'] = 0; t[(int)'C'] = 1;
+            t[(int)'G'] = 2; t[(int)'T'] = 3;
+        }
+    };
+    static const BCode bc;
+    const int8_t* bcode = bc.t;
     int nq = *qdict_n;
     if (nq < 2) {
         // learn the dict from this batch's qual histogram: top-2 by count
@@ -499,14 +503,17 @@ int64_t pack_nib(const uint8_t* bases, const uint8_t* quals, int64_t n,
                  uint8_t* qdict, int32_t* qdict_n,
                  uint8_t* packed, int64_t exc_cap,
                  int32_t* exc_idx, uint8_t* exc_base, uint8_t* exc_qual) {
-    static int8_t bcode[256];
-    static bool init = false;
-    if (!init) {
-        memset(bcode, -1, sizeof(bcode));
-        bcode[(int)'A'] = 0; bcode[(int)'C'] = 1;
-        bcode[(int)'G'] = 2; bcode[(int)'T'] = 3;
-        init = true;
-    }
+    // thread-safe one-time init (see pack_p3's BCode note)
+    struct BCode {
+        int8_t t[256];
+        BCode() {
+            memset(t, -1, sizeof(t));
+            t[(int)'A'] = 0; t[(int)'C'] = 1;
+            t[(int)'G'] = 2; t[(int)'T'] = 3;
+        }
+    };
+    static const BCode bc;
+    const int8_t* bcode = bc.t;
     int16_t qcode[256];
     memset(qcode, -1, sizeof(qcode));
     int nq = *qdict_n;

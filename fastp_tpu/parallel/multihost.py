@@ -41,7 +41,20 @@ import numpy as np
 _CHUNK = 1 << 23
 
 
+def _env_shard() -> Optional[Tuple[int, int]]:
+    """(index, count) when this process is a shard of a same-host
+    `--local_processes N` fan-out (cli.py spawns the children with these
+    env vars; the reference self-spawns worker threads from -w N the same
+    way, src/peprocessor.cpp:750-754).  None otherwise."""
+    c = os.environ.get("FASTP_TPU_SHARD_COUNT")
+    if c and int(c) > 1:
+        return int(os.environ.get("FASTP_TPU_SHARD_INDEX", "0")), int(c)
+    return None
+
+
 def active() -> bool:
+    if _env_shard() is not None:
+        return True
     import jax
     try:
         return jax.process_count() > 1
@@ -50,11 +63,17 @@ def active() -> bool:
 
 
 def process_index() -> int:
+    e = _env_shard()
+    if e is not None:
+        return e[0]
     import jax
     return jax.process_index()
 
 
 def process_count() -> int:
+    e = _env_shard()
+    if e is not None:
+        return e[1]
     import jax
     return jax.process_count()
 
@@ -179,6 +198,10 @@ def shard_options(opt) -> None:
     from ..config import error_exit
     k = process_index()
     n = process_count()
+    # per-JOB exchange-round counter: a resident server may have served
+    # earlier exchanging jobs, and shards on fresh vs warm servers must
+    # still agree on round numbering
+    _exchange_round[0] = 0
     if opt.inputFromSTDIN or opt.in1 in ("/dev/stdin", "-"):
         error_exit("multi-host sharding does not support STDIN input")
     if opt.split.enabled:
@@ -327,18 +350,29 @@ def _allgather_bytes_jax(payload: bytes) -> List[bytes]:
             for i in range(len(sizes))]
 
 
+_exchange_round = [0]
+
+
 def _allgather_bytes_files(payload: bytes, exchange_dir: str) -> List[bytes]:
-    """Shared-filesystem fallback: write <dir>/.fastp_shard.<k>, poll for
-    every shard, then read them all (process 0 cleans up)."""
+    """Shared-filesystem fallback: write <dir>/.fastp_shard.<round>.<k>,
+    poll for every shard, then read them all (process 0 cleans up).
+
+    Every process performs the run's exchanges in the same order (dedup
+    pre-pass, then final stats), so a per-process round counter keeps the
+    rounds' files distinct — without it a fast shard could publish round
+    2's payload before process 0 finished deleting round 1's files and
+    lose it to that cleanup."""
     k = process_index()
     n = process_count()
+    rnd = _exchange_round[0]
+    _exchange_round[0] += 1
     os.makedirs(exchange_dir, exist_ok=True)
-    mine = os.path.join(exchange_dir, ".fastp_shard.%d" % k)
+    mine = os.path.join(exchange_dir, ".fastp_shard.%d.%d" % (rnd, k))
     tmp = mine + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.rename(tmp, mine)
-    paths = [os.path.join(exchange_dir, ".fastp_shard.%d" % i)
+    paths = [os.path.join(exchange_dir, ".fastp_shard.%d.%d" % (rnd, i))
              for i in range(n)]
     deadline = time.time() + 600
     while any(not os.path.exists(p) for p in paths):
@@ -351,10 +385,11 @@ def _allgather_bytes_files(payload: bytes, exchange_dir: str) -> List[bytes]:
             out.append(f.read())
     # all processes have read everything once every done-marker exists;
     # give laggards a beat, then process 0 cleans up
-    marker = os.path.join(exchange_dir, ".fastp_shard_done.%d" % k)
+    marker = os.path.join(exchange_dir, ".fastp_shard_done.%d.%d" % (rnd, k))
     open(marker, "wb").close()
     if k == 0:
-        markers = [os.path.join(exchange_dir, ".fastp_shard_done.%d" % i)
+        markers = [os.path.join(exchange_dir,
+                                ".fastp_shard_done.%d.%d" % (rnd, i))
                    for i in range(n)]
         deadline = time.time() + 600
         while any(not os.path.exists(p) for p in markers):
@@ -371,6 +406,12 @@ def _allgather_bytes_files(payload: bytes, exchange_dir: str) -> List[bytes]:
 
 def allgather_state(state: dict, exchange_dir: str) -> List[dict]:
     payload = pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL)
+    if _env_shard() is not None:
+        # --local_processes children share one host (the launcher spawned
+        # them), so the filesystem exchange is always valid — and there is
+        # no jax.distributed plane to allgather over.
+        return [pickle.loads(d)
+                for d in _allgather_bytes_files(payload, exchange_dir)]
     try:
         datas = _allgather_bytes_jax(payload)
     except Exception as e:  # CPU multi-process collectives unavailable

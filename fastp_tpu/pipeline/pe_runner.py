@@ -695,6 +695,8 @@ class PairEndProcessor(BaseProcessor):
         l1p = l1p.astype(ldt)
         l2p = l2p.astype(ldt)
         aux = make_aux(self.cfg, valid, pt1p, pt2p, idxp, dedp)
+        if getattr(self, "_qdict2_n", np.zeros(1))[0] < 2:
+            self._learn_p3_dict(q1p, q2p)
         p31 = self._try_pack_p3(b1p, q1p)
         p32 = self._try_pack_p3(b2p, q2p) if p31 is not None else None
         if p31 is not None and p32 is not None:

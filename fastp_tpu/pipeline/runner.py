@@ -347,6 +347,37 @@ class BaseProcessor:
             return None
         return res[:5]
 
+    def _learn_p3_dict(self, *quals):
+        """Pre-learn the 2-entry p3 qual dict from the COMBINED histogram
+        of both mates' first batches (same top-2-by-count rule as the
+        native learner, smallest value winning ties).  An R1-only dict can
+        starve R2 when the mates' dominant qual bins differ: R2's
+        exceptions overflow and p3 goes sticky-dead for the whole run."""
+        import os
+        if (os.environ.get("FASTP_TPU_NO_INPUT_PACK")
+                or os.environ.get("FASTP_TPU_NO_NIB")
+                or os.environ.get("FASTP_TPU_NO_P3")
+                or getattr(self, "_p3_dead", False)):
+            return
+        if not hasattr(self, "_qdict2"):
+            self._qdict2 = np.zeros(2, np.uint8)
+            self._qdict2_n = np.zeros(1, np.int32)
+        if self._qdict2_n[0] >= 2:
+            return
+        hist = np.zeros(256, np.int64)
+        for q in quals:
+            hist += np.bincount(np.asarray(q, np.uint8).ravel(),
+                                minlength=256)
+        hist[0] = 0  # pad
+        if not hist.any():
+            return  # empty batch: the native learner handles it later
+        q0 = int(np.argmax(hist))  # first max = smallest value, as native
+        hist[q0] = 0
+        q1 = int(np.argmax(hist)) if hist.any() else q0
+        self._qdict2[0] = q0
+        self._qdict2[1] = q1
+        self._qdict2_n[0] = 2
+
     def _try_pack_inputs(self, bases, quals):
         """(packed, exc_idx, exc_base, exc_qual) or None.
 

@@ -88,9 +88,16 @@ class _NullStream:
         return False
 
 
-def _run_job(argv, cwd, conn) -> int:
+def _run_job(argv, cwd, conn, jobenv=None) -> int:
     from .cli import main as cli_main
     old_out, old_err, old_cwd = sys.stdout, sys.stderr, os.getcwd()
+    # overlay the client's job-level FASTP_TPU_* knobs for this job only
+    saved_env = {}
+    for k, v in (jobenv or {}).items():
+        if not k.startswith("FASTP_TPU_"):
+            continue
+        saved_env[k] = os.environ.get(k)
+        os.environ[k] = str(v)
     if conn is None:
         sys.stdout = _NullStream()
         sys.stderr = _NullStream()
@@ -121,6 +128,11 @@ def _run_job(argv, cwd, conn) -> int:
     finally:
         sys.stdout, sys.stderr = old_out, old_err
         os.chdir(old_cwd)
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def serve(sock_path: str, warm: bool = False, warm_run=None) -> int:
@@ -193,7 +205,8 @@ def serve(sock_path: str, warm: bool = False, warm_run=None) -> int:
                 send_frame(conn, b"R", json.dumps({"rc": 0}).encode())
                 conn.close()
                 break
-            rc = _run_job(req["argv"], req.get("cwd", "."), conn)
+            rc = _run_job(req["argv"], req.get("cwd", "."), conn,
+                          req.get("env"))
             send_frame(conn, b"R", json.dumps({"rc": rc}).encode())
         except (ConnectionError, BrokenPipeError, json.JSONDecodeError):
             pass
