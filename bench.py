@@ -618,7 +618,77 @@ def measure_devices(n_devices: int, pairs: int, backend: str):
     }))
 
 
+def measure_merge(pairs: int):
+    """Merge-mode bench variant (BASELINE config 5 flavor: merge + dedup)
+    vs the plain pipeline on the same corpus, both through one resident
+    server.  Emits the wall ratio — the round-5 lean-merge work (device
+    m_emit/um_emit bits + merged result histogram + accumulated
+    post_merged stats) must keep merge within ~1.3x of plain."""
+    global N_PAIRS
+    N_PAIRS = pairs
+    ensure_corpus()
+    env = _client_env()
+    plain_cmd = [sys.executable, "-m", "fastp_tpu"] + ARGS + [
+        "--batch_size", "65536"]
+    merge_cmd = [sys.executable, "-m", "fastp_tpu",
+                 "-i", os.path.join(BENCH_DIR, "R1.fq"),
+                 "-I", os.path.join(BENCH_DIR, "R2.fq"),
+                 "--merge", "--merged_out", "merged.fq",
+                 "-o", "out1.fq", "-O", "out2.fq", "--dedup"] + FLAGS + [
+                 "--batch_size", "65536"]
+    t0 = time.time()
+    server = _start_server(env, max(90, remaining() - 420))
+    warmup = time.time() - t0
+    res = {"plain": [], "merge": []}
+    try:
+        workdir = os.path.join(BENCH_DIR, "merge_run")
+        os.makedirs(workdir, exist_ok=True)
+        # plain first (the warm run preloaded this executable), then merge
+        # (its run 0 pays the one-time compile + device program swap)
+        for name, cmd, n in (("plain", plain_cmd, 2), ("merge", merge_cmd, 3)):
+            for _ in range(n):
+                if remaining() < 150:
+                    break
+                t0 = time.time()
+                _run(cmd, cwd=workdir, env=env, check=True,
+                     capture_output=True, timeout=max(60, remaining() - 45))
+                res[name].append(time.time() - t0)
+    finally:
+        if server is not None:
+            _stop_server(server, env)
+    plain = _median(res["plain"]) if res["plain"] else None
+    # merge run 0 pays the program swap; steady state is the rest
+    steady = res["merge"][1:] if len(res["merge"]) > 1 else res["merge"]
+    merge = _median(steady) if steady else None
+    print(json.dumps({
+        "metric": "pe150_merge_dedup_reads_per_sec",
+        "value": round(2 * pairs / merge, 1) if merge else None,
+        "unit": "reads/s",
+        "vs_baseline": None,
+        "pairs": pairs,
+        "plain_runs_seconds": [round(r, 2) for r in res["plain"]],
+        "merge_runs_seconds": [round(r, 2) for r in res["merge"]],
+        "merge_over_plain_wall": (round(merge / plain, 3)
+                                  if merge and plain else None),
+        "server_warmup_seconds": round(warmup, 2),
+        "protocol": "one resident server; plain (--correction --cut_right) "
+                    "2 runs then merge+dedup 3 runs (merge run 0 pays its "
+                    "one-time compile + program swap, excluded from the "
+                    "steady median)",
+    }))
+
+
 def main():
+    if "--merge-bench" in sys.argv:
+        import argparse
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--merge-bench", action="store_true")
+        ap.add_argument("--pairs", type=int, default=N_PAIRS)
+        a = ap.parse_args()
+        # no watchdog here: its snapshot emits the main-metric record;
+        # the per-phase remaining() timeouts bound every wait instead
+        measure_merge(a.pairs)
+        return
     if "--devices" in sys.argv:
         import argparse
         ap = argparse.ArgumentParser()

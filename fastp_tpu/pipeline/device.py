@@ -829,7 +829,6 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
             out["m_len2"] = m_len2
             out["m_result"] = m_result
             out["m_emit"] = m_emit
-            out["ovm_offset"] = ovm["offset"]
             out["ovm_olen"] = ovm["overlap_len"]
             out["post_merged"] = stats_ops.stat_batch(m_seq, m_qual, m_len, m_emit)
 
@@ -878,14 +877,53 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
         if cfg.lean:
             # per-read result codes reduce to the exact counting histogram
             # route_pe builds (max(r1,r2) weighted 2 over ~index_drop rows);
-            # fields that only feed the --failed_out / merge / fallback
-            # branches (excluded by lean) stay on device, and the overlap /
+            # fields that only feed the --failed_out / fallback branches
+            # (excluded by lean) stay on device, and the overlap /
             # adapter-recording scalars ship only for the configs whose host
             # stage reads them
             counted = valid & ~index_drop
-            out["result_hist"] = jnp.zeros((FILTER_RESULT_TYPES,), jnp.int32) \
-                .at[jnp.where(counted, jnp.maximum(result1, result2), 0)] \
-                .add(jnp.where(counted, 2, 0))
+            hist = jnp.zeros((FILTER_RESULT_TYPES,), jnp.int32)
+            if cfg.merge_enabled:
+                # merge-mode counting (route_pe's three row classes):
+                # merged rows count m_result x2; include_unmerged rows count
+                # result1 and result2 x1 each; the rest count max(r1,r2) x2.
+                # merged_ok already embeds counted (alive1/2 include
+                # ~index_drop & valid), so mm == merged_ok.
+                mm = out["merged_ok"]
+                if cfg.merge_include_unmerged:
+                    um = alive1 & alive2 & ~mm
+                else:
+                    um = jnp.zeros((B,), bool)
+                normal = counted & ~(mm | um)
+                hist = hist.at[jnp.where(mm, out["m_result"], 0)] \
+                    .add(jnp.where(mm, 2, 0))
+                if cfg.merge_include_unmerged:
+                    um32 = um.astype(jnp.int32)
+                    hist = hist.at[jnp.where(um, result1, 0)].add(um32)
+                    hist = hist.at[jnp.where(um, result2, 0)].add(um32)
+                    r1ok = alive1 & (result1 == PASS_FILTER)
+                    r2ok = alive2 & (result2 == PASS_FILTER)
+                    # the unmerged-survivor emit bits route_pe needs (1 bit
+                    # each on the packed bool word) + the read_passed
+                    # contribution as a batch scalar
+                    out["um_emit1"] = um & r1ok & ~dedup_out
+                    out["um_emit2"] = um & r2ok & ~dedup_out
+                    out["um_both_pass"] = jnp.sum(
+                        um & r1ok & r2ok, dtype=jnp.int32)[None]
+                hist = hist.at[
+                    jnp.where(normal, jnp.maximum(result1, result2), 0)] \
+                    .add(jnp.where(normal, 2, 0))
+                # route_pe derives everything else from m_emit/normal/pass*:
+                # the wide per-read merge fields stay on device
+                out["normal"] = normal
+                for k in ("m_result", "m_len", "merged_ok", "post1",
+                          "post2"):
+                    del out[k]
+            else:
+                hist = hist.at[
+                    jnp.where(counted, jnp.maximum(result1, result2), 0)] \
+                    .add(jnp.where(counted, 2, 0))
+            out["result_hist"] = hist
             for k in ("result1", "result2", "alive1", "alive2", "emit_pair"):
                 del out[k]
             # the five per-read overlap fields only serve the sparse-

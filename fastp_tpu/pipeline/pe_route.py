@@ -136,7 +136,20 @@ def route_pe(proc, out: Dict, batch1, batch2, B: int,
     read_passed = 0
     merged_count = 0
 
-    if merge_on:
+    if merge_on and lean:
+        # the device already classified every row (merged / unmerged-
+        # survivor / normal), counted results into result_hist, and
+        # applied the index/valid masks (merged_ok embeds alive1&alive2)
+        m_emit = np.asarray(out["m_emit"][:B], bool)
+        normal = np.asarray(out["normal"][:B], bool)
+        merged_count = int(m_emit.sum())
+        read_passed += merged_count
+        umA = umB = zeros_u8
+        if include_unmerged:
+            umA = np.asarray(out["um_emit1"][:B], bool)
+            umB = np.asarray(out["um_emit2"][:B], bool)
+            read_passed += int(out["um_both_pass"][0])
+    elif merge_on:
         m_ok = np.asarray(out["merged_ok"][:B], bool)
         m_res = np.asarray(out["m_result"][:B], np.int32)
         mm = m_ok & active

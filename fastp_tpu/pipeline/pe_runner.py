@@ -457,13 +457,16 @@ class PairEndProcessor(BaseProcessor):
 
             merge_on = opt.merge.enabled
             if merge_on:
-                m_ok = out["merged_ok"]
-                m_res = out["m_result"]
-                m_len = out["m_len"]
-                m_len1 = out["m_len1"]
-                m_len2 = out["m_len2"]
-                ovm_ol = out["ovm_olen"]
-                self.post_stats1.add_batch(out["post_merged"])
+                if not routed:  # the per-row fallback reads these per read
+                    m_ok = out["merged_ok"]
+                    m_res = out["m_result"]
+                    m_len = out["m_len"]
+                    m_len1 = out["m_len1"]
+                    m_len2 = out["m_len2"]
+                    ovm_ol = out["ovm_olen"]
+                if not self._accum:
+                    # accumulate mode keeps post_merged on device
+                    self.post_stats1.add_batch(out["post_merged"])
 
             if routed:
                 from .pe_route import route_pe
@@ -472,7 +475,8 @@ class PairEndProcessor(BaseProcessor):
                     pre_trim1, pre_trim2, dedup_out)
                 for k, v in rparts.items():
                     parts[k].append(v)
-                if merge_on and opt.merge.includeUnmerged:
+                if (merge_on and opt.merge.includeUnmerged
+                        and not self._accum):
                     self.post_stats1.add_batch(out["post_um1"])
                     self.post_stats1.add_batch(out["post_um2"])
             else:
@@ -631,6 +635,11 @@ class PairEndProcessor(BaseProcessor):
             if "post1" in vals and not opt.merge.enabled:
                 self.post_stats1.add_batch(vals["post1"])
                 self.post_stats2.add_batch(vals["post2"])
+            if "post_merged" in vals:
+                self.post_stats1.add_batch(vals["post_merged"])
+            if "post_um1" in vals:
+                self.post_stats1.add_batch(vals["post_um1"])
+                self.post_stats1.add_batch(vals["post_um2"])
             if "isize_hist" in vals:
                 self.insert_hist[:len(vals["isize_hist"])] += vals["isize_hist"]
             if "polyx_reads" in vals:

@@ -228,11 +228,14 @@ class BaseProcessor:
         # accumulate mode: batch-reduced stat sums stay in a resident
         # on-device accumulator (one fetch per RUN, not per batch) — the
         # tunnel D2H is the wall.  Off on a mesh (stats replicate across
-        # shards there) and in merge mode (whose fallback path stats
-        # per-row on the host).
+        # shards there).  Merge mode accumulates only on the native routed
+        # path: the pure-Python fallback stats unmerged survivors per row
+        # on the host, which would double-count device post_um dicts.
         import os as _os
+        from ..io import native as _native
         self._accum = False
-        if (self.mesh is None and not opt.merge.enabled
+        merge_ok = not opt.merge.enabled or _native.get_lib() is not None
+        if (self.mesh is None and merge_ok
                 and not _os.environ.get("FASTP_TPU_NO_ACCUM")
                 and not _os.environ.get("FASTP_TPU_NO_PACK")):
             self._accum = ("donate" if jax.default_backend() != "cpu"

@@ -87,11 +87,14 @@ class DeviceCfg:
 def _lean_ok(opt: Options) -> bool:
     """Per-read result codes can stay on device (histogram only) iff the
     native routed emitter handles output (the pure-Python fallback loop
-    reads codes per row) and no stream needs per-read failure reasons."""
+    reads codes per row) and no stream needs per-read failure reasons.
+    Merge mode is lean-capable since round 5: the device ships m_emit /
+    um_emit bits + a result histogram covering route_pe's three merge row
+    classes instead of the wide per-read merge fields."""
     import os
     if os.environ.get("FASTP_TPU_NO_LEAN"):
         return False
-    if opt.failedOut or opt.merge.enabled:
+    if opt.failedOut:
         return False
     from ..io import native as native_mod
     return native_mod.get_lib() is not None
