@@ -142,6 +142,13 @@ def emit_and_exit(code=0):
         "pairs": N_PAIRS,
         "runs_seconds": [round(r, 2) for r in runs],
         "best_reads_per_sec": round(best, 1),
+        # cold-start operability: run 0 is the FIRST client job through the
+        # freshly warmed server, so its overhead over the steady median is
+        # the recorded first-job-after-warm cost
+        "first_job_over_steady_seconds": (
+            round(runs[0] - _median(runs), 2) if len(runs) >= 3 else None),
+        "run_spread_max_over_min": (
+            round(max(runs) / min(runs), 3) if runs else None),
         "server_warmup_seconds": (round(SNAP["warmup"], 2)
                                   if SNAP["warmup"] else None),
         "ref_runs_seconds": [round(r, 2) for r in SNAP["ref_runs"]],

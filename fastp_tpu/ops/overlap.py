@@ -136,7 +136,8 @@ def analyze_conv(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
 
 
 def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
-            diff_pct: float, allow_gap: bool = False, clean=None):
+            diff_pct: float, allow_gap: bool = False, clean=None,
+            spmd: bool = False):
     """Batched OverlapAnalysis::analyze.
 
     seq1/seq2: uint8[B, L] windowed reads; len1/len2: int32[B].
@@ -146,7 +147,20 @@ def analyze(seq1, len1, seq2, len2, diff_limit: int, overlap_require: int,
     `clean` (traced bool scalar or None): when given and True at runtime,
     the MXU cross-correlation path is used (exact for ACGTN-only batches);
     dirty batches fall back to the byte-exact offset loop via lax.cond.
+
+    `spmd`: the step is being partitioned over a device mesh.  The grouped
+    conv puts the batch in the CHANNEL dimension, which GSPMD cannot shard
+    on dp — it all-gathers the one-hot tensors (f32[1, B*5, n_off], tens of
+    MB) and re-runs the FULL conv on every device (measured ~100x wall on an
+    8-device mesh); a pallas_call is an opaque custom call with the same
+    replicate-everything fate.  The sequential-offset loop is row-local
+    (dynamic_slice on axis 1 + masked reduces), so each shard sweeps only
+    its own rows — it partitions perfectly and stays byte-exact for any
+    alphabet, so the clean/dirty cond disappears too.
     """
+    if spmd and not allow_gap:
+        return _analyze_loop(seq1, len1, seq2, len2, diff_limit,
+                             overlap_require, diff_pct, False)
     if clean is not None and not allow_gap:
         import os
         env = os.environ.get("FASTP_TPU_PALLAS_OVERLAP")

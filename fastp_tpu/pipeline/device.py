@@ -707,6 +707,10 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
     layout = {}
     extra_i8 = _extra_i8_keys(cfg)
     acc_on = bool(accum)
+    # mega == "sharded" <=> the step runs partitioned over a device mesh:
+    # the overlap sweep must use its row-local (partition-friendly)
+    # formulation — see ops/overlap.py:analyze(spmd=)
+    spmd = mega == "sharded"
 
     def pe_step(b1, q1, l1, b2, q2, l2, pre_trim1, pre_trim2, index_drop,
                 dedup_out, valid):
@@ -740,8 +744,8 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
             return ((x == 0) | (x == 65) | (x == 67) | (x == 71)
                     | (x == 84) | (x == 78))
         import os
-        if os.environ.get("FASTP_TPU_NO_CONV"):
-            clean = None
+        if spmd or os.environ.get("FASTP_TPU_NO_CONV"):
+            clean = None  # spmd: the loop path needs no clean/dirty cond
         else:
             clean = jnp.all(_acgtn(b1)) & jnp.all(_acgtn(b2))
 
@@ -750,7 +754,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                                  cfg.overlap_diff_limit, cfg.overlap_require,
                                  cfg.overlap_diff_pct,
                                  cfg.allow_gap_overlap if need_ov else False,
-                                 clean=clean)
+                                 clean=clean, spmd=spmd)
         ov_ok = ov["overlapped"] & both
 
         # insert size (reference: statInsertSize, src/peprocessor.cpp:698-711)
@@ -775,12 +779,35 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                 correct_ops.correct_by_overlap(
                     w1, wq1, rlen1, w2, wq2, rlen2,
                     do, ov["offset"], ov["overlap_len"], ov["diff"])
-            (out["c1_rows"], out["c1_pos"], out["c1_base"], out["c1_qual"],
-             out["c1_count"]) = correct_ops.extract_deltas_sparse(
-                masks["mask1"], w1, wq1, CORR_C)
-            (out["c2_rows"], out["c2_pos"], out["c2_base"], out["c2_qual"],
-             out["c2_count"]) = correct_ops.extract_deltas_sparse(
-                masks["mask2"], w2, wq2, CORR_C)
+            if spmd:
+                # mesh path: the batch-level sparse compaction is a GLOBAL
+                # nonzero (cumsum over [B*W]) that GSPMD can only realize
+                # with all-gathers + cross-shard all-reduces of the [C]
+                # slot arrays (measured 12.5s vs 0.85s per 2048-row batch
+                # on an 8-device host mesh).  Per-ROW top-K extraction is
+                # shard-local and rides the dp-sharded rows blob; rows
+                # with count > K fall back to the exact host recompute.
+                K = 12
+                p1, b1d, q1d, c1 = correct_ops.extract_deltas(
+                    masks["mask1"], w1, wq1, K)
+                p2, b2d, q2d, c2 = correct_ops.extract_deltas(
+                    masks["mask2"], w2, wq2, K)
+                ldt = jnp.int16 if L <= 32000 else jnp.int32
+                out["c1k_pos"] = p1.T.astype(ldt)
+                out["c2k_pos"] = p2.T.astype(ldt)
+                out["c1k_u8"] = jnp.concatenate([b1d, q1d], axis=1).T
+                out["c2k_u8"] = jnp.concatenate([b2d, q2d], axis=1).T
+                out["c1k_cnt"] = c1
+                out["c2k_cnt"] = c2
+            else:
+                (out["c1_rows"], out["c1_pos"], out["c1_base"],
+                 out["c1_qual"], out["c1_count"]) = \
+                    correct_ops.extract_deltas_sparse(
+                        masks["mask1"], w1, wq1, CORR_C)
+                (out["c2_rows"], out["c2_pos"], out["c2_base"],
+                 out["c2_qual"], out["c2_count"]) = \
+                    correct_ops.extract_deltas_sparse(
+                        masks["mask2"], w2, wq2, CORR_C)
             # corrected-read counter, reduced on device
             # (reference: src/peprocessor.cpp:440-443 via FilterResult)
             corr_any = corrected > 0
@@ -804,7 +831,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
         if cfg.overlapped_out:
             ov0 = overlap_ops.analyze(w1, rlen1, w2, rlen2,
                                       cfg.overlap_diff_limit, cfg.overlap_require,
-                                      0.0, clean=clean)
+                                      0.0, clean=clean, spmd=spmd)
             out["ov0_ok"] = ov0["overlapped"] & both
             out["ov0_offset"] = ov0["offset"]
             out["ov0_len"] = ov0["overlap_len"]
@@ -816,7 +843,8 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
         if cfg.merge_enabled:
             ovm = overlap_ops.analyze(w1, rlen1, w2, rlen2,
                                       cfg.overlap_diff_limit, cfg.overlap_require,
-                                      cfg.overlap_diff_pct, False, clean=clean)
+                                      cfg.overlap_diff_pct, False, clean=clean,
+                                      spmd=spmd)
             ovm_ok = ovm["overlapped"] & both
             m_seq, m_qual, m_len, m_len1, m_len2 = merge_ops.merge_pairs(
                 w1, wq1, rlen1, w2, wq2, rlen2,

@@ -103,6 +103,29 @@ class PairWindowView:
         self.width = width
         self._cache: Dict[int, Tuple[bytes, bytes, bytes, bytes]] = {}
         self.correction = correction_enabled
+        self.rowwise = False
+        if correction_enabled and "c1k_pos" in out:
+            # mesh path: per-row [K, B] delta matrices (device
+            # extract_deltas, spmd-local); rows with count > K recompute
+            # exactly per row like the global-overflow branch
+            B = len(self.tf1)
+            K = out["c1k_pos"].shape[0]
+            cnt1 = np.asarray(out["c1k_cnt"][:B], np.int64)
+            cnt2 = np.asarray(out["c2k_cnt"][:B], np.int64)
+            self.rowwise = True
+            self.overflow = False
+            self._k = K
+            self._row_over = (cnt1 > K) | (cnt2 > K)
+            self._cnt1, self._cnt2 = cnt1, cnt2
+            self._m1 = (out["c1k_pos"], out["c1k_u8"])
+            self._m2 = (out["c2k_pos"], out["c2k_u8"])
+            self.ov_offset = out.get("ov_offset")
+            self.ov_olen = out.get("ov_olen")
+            self.rlen1_pre = out.get("rlen1_pre_ovtrim")
+            self.rlen2_pre = out["rlen2_pre_ovtrim"]
+            self.ov_params = ov_params
+            self.has_corr = (cnt1 > 0) | (cnt2 > 0)
+            return
         if correction_enabled:
             if corr_c is None:
                 corr_c = out["c1_rows"].shape[0]  # capacity baked into the step
@@ -166,6 +189,31 @@ class PairWindowView:
         bq1 = bytearray(q1)
         b2 = bytearray(s2)
         bq2 = bytearray(q2)
+        if self.rowwise:
+            if self._row_over[i]:
+                if self.ov_offset is not None:
+                    off, ol = int(self.ov_offset[i]), int(self.ov_olen[i])
+                else:
+                    dl, ovr, dp = self.ov_params
+                    p1, p2 = int(self.rlen1_pre[i]), int(self.rlen2_pre[i])
+                    _, off, ol, _ = host_analyze_overlap(
+                        np.frombuffer(s1[:p1], np.uint8),
+                        np.frombuffer(s2[:p2], np.uint8), dl, ovr, dp)
+                host_correct_pair(b1, bq1, b2, bq2,
+                                  int(self.rlen2_pre[i]), off, ol)
+            else:
+                K = self._k
+                for (posm, u8m), cnt, buf, qbuf in (
+                        (self._m1, self._cnt1, b1, bq1),
+                        (self._m2, self._cnt2, b2, bq2)):
+                    for k in range(int(cnt[i])):
+                        p = int(posm[k, i])
+                        if p < len(buf):
+                            buf[p] = int(u8m[k, i])
+                            qbuf[p] = int(u8m[K + k, i])
+            res = (bytes(b1), bytes(bq1), bytes(b2), bytes(bq2))
+            self._cache[i] = res
+            return res
         if self.overflow:
             if self.ov_offset is not None:
                 off, ol = int(self.ov_offset[i]), int(self.ov_olen[i])

@@ -822,6 +822,8 @@ class PairEndProcessor(BaseProcessor):
         arrays so the native serializer emits corrected content.  Overflowing
         batches (count > capacity) are recomputed exactly on host
         (reference: src/basecorrector.cpp:16-83)."""
+        if "c1k_pos" in out:  # mesh path: per-row top-K deltas (spmd-local)
+            return self._patch_corrections_rowwise(batch1, batch2, out, B)
         C = out["c1_rows"].shape[0]  # slot capacity baked into the step
         n1 = int(out["c1_count"])
         n2 = int(out["c2_count"])
@@ -844,15 +846,51 @@ class PairEndProcessor(BaseProcessor):
             bt.bases[rows, apos] = out[base_k][:cnt][ok]
             bt.quals[rows, apos] = out[qual_k][:cnt][ok]
 
+    def _patch_corrections_rowwise(self, batch1: ArrayBatch,
+                                   batch2: ArrayBatch, out, B: int):
+        """Mesh-path twin of _patch_corrections: per-row [K, B] delta
+        matrices (device extract_deltas) instead of the batch-level sparse
+        lists; rows whose count exceeds K are recomputed exactly on host."""
+        K = out["c1k_pos"].shape[0]
+        cnt1 = np.asarray(out["c1k_cnt"][:B], np.int64)
+        cnt2 = np.asarray(out["c2k_cnt"][:B], np.int64)
+        if not (cnt1.any() or cnt2.any()):
+            return
+        over = (cnt1 > K) | (cnt2 > K)
+        ks = np.arange(K)
+        for bt, tf_k, pos_k, u8_k, cnt in (
+                (batch1, "total_front1", "c1k_pos", "c1k_u8", cnt1),
+                (batch2, "total_front2", "c2k_pos", "c2k_u8", cnt2)):
+            posm = np.asarray(out[pos_k][:, :B], np.int64)      # [K, B]
+            u8 = out[u8_k][:, :B]                               # [2K, B]
+            valid = (ks[:, None] < np.minimum(cnt, K)[None, :]) & ~over[None, :]
+            kk, rows = np.nonzero(valid)
+            if rows.size == 0:
+                continue
+            tf = np.asarray(out[tf_k], np.int64)
+            apos = tf[rows] + posm[kk, rows]
+            ok = apos < bt.lengths[rows]
+            rows, apos, kk = rows[ok], apos[ok], kk[ok]
+            bt.bases[rows, apos] = u8[kk, rows]
+            bt.quals[rows, apos] = u8[K + kk, rows]
+        if over.any():
+            self._host_correct_all(batch1, batch2, out, B,
+                                   rows=np.flatnonzero(over))
+
     def _host_correct_all(self, batch1: ArrayBatch, batch2: ArrayBatch,
-                          out, B: int):
+                          out, B: int, rows=None):
         """Exact host recomputation of every correctable row (sparse-list
-        overflow path)."""
+        overflow path); `rows` restricts to the given row indices (the
+        rowwise path's per-row overflows)."""
         if "ov_ok" in out:
             do = (out["ov_ok"][:B] & ~out["ov_hasgap"][:B]
                   & (out["ov_diff"][:B] != 0))
         else:  # lean step: the flag bit replaces the per-read ov fields
             do = out["corr_able"][:B]
+        if rows is not None:
+            m = np.zeros(B, bool)
+            m[rows] = True
+            do = do & m
         opt = self.opt
         ovp = (opt.overlapDiffLimit, opt.overlapRequire,
                opt.overlapDiffPercentLimit / 100.0)
