@@ -327,11 +327,19 @@ def _client_env():
     env["FASTP_TPU_SERVER"] = SOCK
     # glibc (2.34+) MADV_HUGEPAGEs malloc arenas: on virtualized hosts with
     # slow 4KB faults (30-65us measured) this cuts first-touch cost ~28x.
-    # Tunables are only read at process start, so set it for the children.
-    if "glibc.malloc.hugetlb" not in env.get("GLIBC_TUNABLES", ""):
-        env["GLIBC_TUNABLES"] = (env.get("GLIBC_TUNABLES", "")
-                                 + (":" if env.get("GLIBC_TUNABLES") else "")
-                                 + "glibc.malloc.hugetlb=1")
+    # mmap_threshold/trim_threshold: the per-batch multi-MB numpy buffers
+    # (tokenize ~21MB, serialize out ~40MB/side at 64k pairs) otherwise go
+    # through mmap/munmap per batch and re-fault every page every batch —
+    # the measured 5-10s/run of sys time.  Keeping big blocks in the arena
+    # reuses the same already-faulted pages across batches.
+    # Tunables are only read at process start, so set them for the children.
+    tun = env.get("GLIBC_TUNABLES", "")
+    for kv in ("glibc.malloc.hugetlb=1",
+               "glibc.malloc.mmap_threshold=1073741824",
+               "glibc.malloc.trim_threshold=1073741824"):
+        if kv.split("=")[0] not in tun:
+            tun = tun + (":" if tun else "") + kv
+    env["GLIBC_TUNABLES"] = tun
     return env
 
 
