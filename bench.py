@@ -465,6 +465,11 @@ def measure_ours():
             server = _start_server(env, max(90, remaining() - 240))
     if server is not None:
         SNAP["warmup"] = time.time() - t_start
+    # thin-client runs never touch JAX, but the axon sitecustomize imports
+    # jax at INTERPRETER STARTUP whenever PALLAS_AXON_POOL_IPS is set —
+    # 1.78s of pure python startup measured per client.  Clear it for the
+    # server-routed clients only (the cold-run fallback needs it).
+    cenv = dict(env, PALLAS_AXON_POOL_IPS="") if server is not None else env
     try:
         for k in range(REPEATS):
             if SNAP["runs"] and remaining() < max(SNAP["runs"]) * 1.5 + 60:
@@ -473,7 +478,7 @@ def measure_ours():
                 break
             t0 = time.time()
             try:
-                r = _run(cmd, cwd=workdir, env=env, check=True,
+                r = _run(cmd, cwd=workdir, env=cenv, check=True,
                                    capture_output=True,
                                    timeout=max(60, remaining() - 45))
                 with open(os.path.join(BENCH_DIR, "run%d.err" % k), "wb") as f:
@@ -500,7 +505,7 @@ def measure_ours():
                     if remaining() < 120:
                         break
                     t0 = time.time()
-                    _run(gz_cmd, cwd=gz_dir, env=env, check=True,
+                    _run(gz_cmd, cwd=gz_dir, env=cenv, check=True,
                                    capture_output=True,
                                    timeout=max(60, remaining() - 45))
                     SNAP["gz_runs"].append(time.time() - t0)
@@ -654,6 +659,7 @@ def measure_merge(pairs: int):
     t0 = time.time()
     server = _start_server(env, max(90, remaining() - 420))
     warmup = time.time() - t0
+    cenv = dict(env, PALLAS_AXON_POOL_IPS="") if server is not None else env
     res = {"plain": [], "merge": []}
     try:
         workdir = os.path.join(BENCH_DIR, "merge_run")
@@ -665,7 +671,7 @@ def measure_merge(pairs: int):
                 if remaining() < 150:
                     break
                 t0 = time.time()
-                _run(cmd, cwd=workdir, env=env, check=True,
+                _run(cmd, cwd=workdir, env=cenv, check=True,
                      capture_output=True, timeout=max(60, remaining() - 45))
                 res[name].append(time.time() - t0)
     finally:

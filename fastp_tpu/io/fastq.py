@@ -496,8 +496,14 @@ class ArrayFastqReader:
         # 10-100ms each under this host's fluctuating memory weather)
         self._mm = None
         self._mm_off = self._mm_end = 0
+        # FASTP_TPU_NO_MMAP: on hosts with slow first-touch faults
+        # (virtualized memory, 30-65us/4KB) a fresh mmap of a multi-GB
+        # input faults every page once per RUN; the read() path copies
+        # into the (resident-server) process's already-faulted malloc
+        # arena instead, so repeat jobs fault ~nothing
         if (not self._zipped and self._fh is not sys.stdin.buffer
-                and record_range is None):
+                and record_range is None
+                and not os.environ.get("FASTP_TPU_NO_MMAP")):
             try:
                 import mmap as _mmap
                 size = os.fstat(self._fh.fileno()).st_size
