@@ -343,7 +343,60 @@ def _client_env():
     return env
 
 
+class _ExternalServer:
+    """Marker for an already-running resident server the bench reuses
+    (deployment mode: one warm server per host serves many jobs).  Not a
+    child of this process: never killed, never shut down."""
+
+    def poll(self):
+        return None
+
+
+def _probe_server(timeout=30.0):
+    """True when a live resident server answers a --version job on SOCK.
+
+    Raw-socket mirror of fastp_tpu.client's frame protocol with a hard
+    timeout (a wedged leftover server must not hang the bench), output
+    discarded (the bench's stdout is the ONE json result line)."""
+    import socket
+    import struct
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn.settimeout(timeout)
+    try:
+        conn.connect(SOCK)
+        req = json.dumps({"op": "run", "argv": ["fastp_tpu", "--version"],
+                          "cwd": "/tmp", "env": {}}) + "\n"
+        conn.sendall(req.encode())
+
+        def recv_exact(n):
+            parts = []
+            while n:
+                b = conn.recv(n)
+                if not b:
+                    raise ConnectionError("closed")
+                parts.append(b)
+                n -= len(b)
+            return b"".join(parts)
+
+        while True:
+            tag = recv_exact(1)
+            (n,) = struct.unpack("<I", recv_exact(4))
+            payload = recv_exact(n) if n else b""
+            if tag == b"R":
+                return json.loads(payload).get("rc") == 0
+    except (OSError, ValueError, ConnectionError):
+        return False
+    finally:
+        conn.close()
+
+
 def _start_server(env, wait_budget):
+    # an already-running warm server (left by a previous bench/session or
+    # started by an operator) is the deployment mode and skips the TPU
+    # program-load lottery entirely — reuse it when it answers
+    if os.path.exists(SOCK) and _probe_server():
+        SNAP["notes"].append("reused already-running warm server")
+        return _ExternalServer()
     try:
         os.unlink(SOCK)
     except OSError:
@@ -391,6 +444,8 @@ def _start_server(env, wait_budget):
 
 
 def _stop_server(proc, env):
+    if isinstance(proc, _ExternalServer):
+        return  # not ours: leave it warm for the next job/bench
     try:
         _run([sys.executable, "-c",
                         "from fastp_tpu.client import shutdown_server;"
@@ -671,8 +726,15 @@ def measure_merge(pairs: int):
                 if remaining() < 150:
                     break
                 t0 = time.time()
-                _run(cmd, cwd=workdir, env=cenv, check=True,
-                     capture_output=True, timeout=max(60, remaining() - 45))
+                try:
+                    _run(cmd, cwd=workdir, env=cenv, check=True,
+                         capture_output=True, timeout=max(60, remaining() - 45))
+                except subprocess.SubprocessError as e:
+                    # a timed-out/failed run (program-load weather) must
+                    # not lose the runs already gathered — emit partial
+                    sys.stderr.write("merge-bench: %s run failed (%s)\n"
+                                     % (name, e))
+                    continue
                 res[name].append(time.time() - t0)
     finally:
         if server is not None:
