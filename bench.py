@@ -49,7 +49,7 @@ ARGS = ["-i", os.path.join(BENCH_DIR, "R1.fq"),
         "-I", os.path.join(BENCH_DIR, "R2.fq"),
         "-o", "out1.fq", "-O", "out2.fq"] + FLAGS
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "7"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "9"))
 # Default budget sits under the plausible external driver timeouts (the
 # round-3 bench was externally killed at rc=124 with zero output; the exact
 # driver deadline is unknowable from here, so emit early rather than risk
@@ -525,6 +525,22 @@ def measure_ours():
     # 1.78s of pure python startup measured per client.  Clear it for the
     # server-routed clients only (the cold-run fallback needs it).
     cenv = dict(env, PALLAS_AXON_POOL_IPS="") if server is not None else env
+    if isinstance(server, _ExternalServer) and remaining() > 400:
+        # a reused server may have a different executable loaded (e.g. the
+        # merge program): one untimed warm job restores this config's
+        # program before the timed runs, matching the fresh-server path
+        # whose --warm-run does exactly this (measured: 29.5s run 0 after
+        # a merge bench vs ~21s steady)
+        warm_cmd = [sys.executable, "-m", "fastp_tpu",
+                    "-i", os.path.join(BENCH_DIR, "warm_R1.fq"),
+                    "-I", os.path.join(BENCH_DIR, "warm_R2.fq"),
+                    "-o", "w1.fq", "-O", "w2.fq"] + FLAGS + [
+                    "--batch_size", "65536"]
+        try:
+            _run(warm_cmd, cwd=workdir, env=cenv, capture_output=True,
+                 timeout=max(60, min(600, remaining() - 300)))
+        except subprocess.SubprocessError:
+            SNAP["notes"].append("reuse warm job failed/timed out")
     try:
         for k in range(REPEATS):
             if SNAP["runs"] and remaining() < max(SNAP["runs"]) * 1.5 + 60:
