@@ -541,12 +541,42 @@ def measure_ours():
                  timeout=max(60, min(600, remaining() - 300)))
         except subprocess.SubprocessError:
             SNAP["notes"].append("reuse warm job failed/timed out")
+    def _gz_variant():
+        # gz-input variant (native libdeflate inflate path): real-world
+        # FASTQ is .gz, so the codec must hold the plain rate.  Runs in
+        # the MIDDLE of the plain runs: host/tunnel weather drifts over
+        # the session, and a tail-end gz phase always saw the worst of it
+        # (plain_over_gz swung 0.92 -> 0.60 across sessions on identical
+        # code).  Same executable shape — no program swap.
+        if not (SNAP["runs"] and server is not None and remaining() > 200):
+            return
+        try:
+            gz1, gz2 = _ensure_gz_corpus()
+            gz_dir = os.path.join(BENCH_DIR, "gz_run")
+            os.makedirs(gz_dir, exist_ok=True)
+            gz_cmd = [sys.executable, "-m", "fastp_tpu",
+                      "-i", gz1, "-I", gz2,
+                      "-o", "out1.fq", "-O", "out2.fq"] + FLAGS + [
+                      "--batch_size", "65536"]
+            for k in range(2):
+                if remaining() < 120:
+                    break
+                t0 = time.time()
+                _run(gz_cmd, cwd=gz_dir, env=cenv, check=True,
+                               capture_output=True,
+                               timeout=max(60, remaining() - 45))
+                SNAP["gz_runs"].append(time.time() - t0)
+        except subprocess.SubprocessError as e:
+            sys.stderr.write("bench: gz variant failed (%s)\n" % (e,))
+
     try:
         for k in range(REPEATS):
             if SNAP["runs"] and remaining() < max(SNAP["runs"]) * 1.5 + 60:
                 SNAP["notes"].append("stopped after %d runs (budget)"
                                      % len(SNAP["runs"]))
                 break
+            if k == (REPEATS + 1) // 2:
+                _gz_variant()  # mid-session: same weather as the median run
             t0 = time.time()
             try:
                 r = _run(cmd, cwd=workdir, env=cenv, check=True,
@@ -561,27 +591,8 @@ def measure_ours():
                     break  # server died: no point repeating
                 continue
             SNAP["runs"].append(time.time() - t0)
-        # optional gz-input variant (native libdeflate inflate path):
-        # real-world FASTQ is .gz, so the codec must hold the plain rate
-        if SNAP["runs"] and server is not None and remaining() > 200:
-            try:
-                gz1, gz2 = _ensure_gz_corpus()
-                gz_dir = os.path.join(BENCH_DIR, "gz_run")
-                os.makedirs(gz_dir, exist_ok=True)
-                gz_cmd = [sys.executable, "-m", "fastp_tpu",
-                          "-i", gz1, "-I", gz2,
-                          "-o", "out1.fq", "-O", "out2.fq"] + FLAGS + [
-                          "--batch_size", "65536"]
-                for k in range(2):
-                    if remaining() < 120:
-                        break
-                    t0 = time.time()
-                    _run(gz_cmd, cwd=gz_dir, env=cenv, check=True,
-                                   capture_output=True,
-                                   timeout=max(60, remaining() - 45))
-                    SNAP["gz_runs"].append(time.time() - t0)
-            except subprocess.SubprocessError as e:
-                sys.stderr.write("bench: gz variant failed (%s)\n" % (e,))
+        if not SNAP["gz_runs"]:
+            _gz_variant()  # the mid-point was skipped (early break)
     finally:
         if server is not None:
             _stop_server(server, env)
