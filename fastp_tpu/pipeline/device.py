@@ -790,7 +790,7 @@ def build_pe_step(cfg: DeviceCfg, packed: bool = False, mega: bool = False,
                 # on an 8-device host mesh).  Per-ROW top-K extraction is
                 # shard-local and rides the dp-sharded rows blob; rows
                 # with count > K fall back to the exact host recompute.
-                K = 12
+                K = int(_os.environ.get("FASTP_TPU_CORR_K", "12"))
                 p1, b1d, q1d, c1 = correct_ops.extract_deltas(
                     masks["mask1"], w1, wq1, K)
                 p2, b2d, q2d, c2 = correct_ops.extract_deltas(

@@ -78,3 +78,36 @@ def test_lean_dedup_index_filter_8dev(tmp_path):
         rep = _json.load(f)
     assert rep["summary"]["before_filtering"]["total_reads"] > \
         rep["summary"]["after_filtering"]["total_reads"]
+
+
+@pytest.mark.slow
+def test_rowwise_correction_overflow_8dev(tmp_path, monkeypatch):
+    """Per-row correction-delta OVERFLOW on the mesh path: with
+    FASTP_TPU_CORR_K=1 every row with >=2 corrections exceeds the K slots
+    and must take the exact host recompute
+    (pe_runner._patch_corrections_rowwise / PairWindowView rowwise branch);
+    output must stay byte-identical to the 1-device run."""
+    import subprocess
+    import sys
+    from test_parity import normalize_json, ROOT
+    subprocess.run([sys.executable,
+                    os.path.join(ROOT, "tools", "make_synth.py"),
+                    "--reads", "1500", "--seed", "31",
+                    "--out1", str(tmp_path / "R1.fq"),
+                    "--out2", str(tmp_path / "R2.fq")],
+                   check=True, capture_output=True)
+    args = ["-i", str(tmp_path / "R1.fq"), "-I", str(tmp_path / "R2.fq"),
+            "-o", "out1.fq", "-O", "out2.fq", "--correction", "--cut_right"]
+    d1 = tmp_path / "dev1"
+    d8 = tmp_path / "dev8"
+    d1.mkdir()
+    d8.mkdir()
+    run_cli(d1, args + ["--devices", "1"])
+    monkeypatch.setenv("FASTP_TPU_CORR_K", "1")
+    run_cli(d8, args + ["--devices", "8"])
+    for f in ("out1.fq", "out2.fq"):
+        with open(d1 / f, "rb") as a, open(d8 / f, "rb") as b:
+            assert a.read() == b.read(), \
+                "rowwise overflow output differs in %s" % f
+    with open(d1 / "fastp.json") as a, open(d8 / "fastp.json") as b:
+        assert normalize_json(a.read()) == normalize_json(b.read())
